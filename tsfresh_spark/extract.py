@@ -1,0 +1,301 @@
+"""Feature extraction operators.
+
+Two physical strategies, both Arrow-batched (never per-row Python):
+
+* :func:`extract_features_tokens` — for the engine's primary input shape
+  (BASELINE.json input_hint): one row already holds a whole series as an
+  ``array<int>`` column, so extraction is a **shuffle-free** ``mapInPandas``
+  — a narrow transformation that scales linearly with partitions and never
+  materializes a grouped shuffle.  This is the 100-TB path.
+
+* :func:`extract_features_long` — for the canonical long format
+  ``(id, kind, sort, value)``: ``groupBy(id, kind).applyInPandas`` with the
+  per-group sort applied inside the UDF.  Same physical plan as the
+  reference's own Spark binding
+  (/root/reference/tsfresh/convenience/bindings.py:164-265), generalized.
+
+The per-series evaluation loop mirrors ``_do_extraction_on_chunk``
+(/root/reference/tsfresh/feature_extraction/extraction.py:308-386): simple
+kernels are called once per parameter set, combiner kernels once per
+parameter list (sharing expensive intermediates), names follow the
+``kind__calculator__params`` grammar.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsfresh_spark.kernels import KERNELS, KernelInfo
+from tsfresh_spark.naming import encode_parameters
+
+
+def _resolve_kernel(name_or_func) -> tuple[str, KernelInfo]:
+    """Settings keys may be registry names or user callables (transported by
+    cloudpickle, exactly how PySpark ships closures; cf. reference
+    settings.py:109-129, extraction.py:340-343)."""
+    if callable(name_or_func):
+        info = KernelInfo(
+            func=name_or_func,
+            fctype=getattr(name_or_func, "fctype", "simple"),
+            input=getattr(name_or_func, "input", "numpy"),
+        )
+        return name_or_func.__name__, info
+    if name_or_func in KERNELS:
+        return name_or_func, KERNELS[name_or_func]
+    raise ValueError(f"unknown feature calculator {name_or_func!r}")
+
+
+def _validate_settings(settings: dict, kind_to_settings: dict | None = None) -> None:
+    """Fail fast on the driver for unknown calculator names instead of
+    surfacing them as executor-side PythonExceptions."""
+    for key in settings:
+        _resolve_kernel(key)
+    for sub in (kind_to_settings or {}).values():
+        for key in sub:
+            _resolve_kernel(key)
+
+
+def compute_series_features(
+    values: np.ndarray,
+    kind: str,
+    settings: dict,
+    timestamps: pd.Index | None = None,
+    show_warnings: bool = False,
+) -> Iterator[tuple[str, float]]:
+    """Evaluate every configured kernel on one series; yields
+    ``(feature_name, value)`` with values coerced to float64."""
+    series = None  # built lazily, only if some kernel needs pandas input
+    for key, parameter_list in settings.items():
+        name, info = _resolve_kernel(key)
+        if not info.available:
+            continue
+        if info.requires_timestamps and not isinstance(timestamps, pd.DatetimeIndex):
+            # reference warns and skips when the index type is wrong
+            # (extraction.py:347-358)
+            continue
+        if info.input == "series":
+            if series is None:
+                series = pd.Series(values, index=timestamps)
+            x = series
+        else:
+            x = values
+        with warnings.catch_warnings():
+            warnings.simplefilter("default" if show_warnings else "ignore")
+            if info.fctype == "combiner":
+                results = info.func(x, param=parameter_list)
+            elif parameter_list:
+                results = (
+                    (encode_parameters(p), info.func(x, **p)) for p in parameter_list
+                )
+            else:
+                results = [("", info.func(x))]
+            for suffix, value in results:
+                feature = f"{kind}__{name}"
+                if suffix:
+                    feature += f"__{suffix}"
+                yield feature, float(value)
+
+
+# ---------------------------------------------------------------------------
+# tokens-table path: (doc_id, tokens, n_tok, source) — shuffle-free
+# ---------------------------------------------------------------------------
+
+
+def extract_features_tokens(
+    df: DataFrame,
+    settings: dict,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    kind_col: str = "source",
+    kind_to_settings: dict | None = None,
+    output: str = "long",
+) -> DataFrame:
+    """Extract features from pre-grouped token-array rows via ``mapInPandas``.
+
+    No shuffle: each input row is a complete series, so this is a narrow
+    map over Arrow batches.  ``output`` is ``"long"`` (one row per feature —
+    id, kind, variable, value) or ``"map"`` (one row per series with a
+    ``map<string,double>`` of features, avoiding a 794-column wide plan; cf.
+    the reference's own advice in docs/text/large_data.rst:33-38).
+    """
+    if output not in ("long", "map"):
+        raise ValueError("output must be 'long' or 'map'")
+    _validate_settings(settings, kind_to_settings)
+
+    id_field = df.schema[id_col]
+    id_type = id_field.dataType.simpleString()
+
+    def run_batch(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        sub = pdf  # already one batch
+        ids, kinds, variables, values = [], [], [], []
+        map_rows = []
+        for doc_id, tokens, kind in zip(
+            sub[id_col].values, sub[tokens_col].values, sub[kind_col].values
+        ):
+            # pandas would surface an integer value column as int64 — match it
+            x = np.asarray(tokens, dtype=np.int64)
+            fc = (
+                kind_to_settings.get(kind, settings)
+                if kind_to_settings
+                else settings
+            )
+            if output == "long":
+                for feature, value in compute_series_features(x, str(kind), fc):
+                    ids.append(doc_id)
+                    kinds.append(kind)
+                    variables.append(feature)
+                    values.append(value)
+            else:
+                feats = dict(compute_series_features(x, str(kind), fc))
+                map_rows.append((doc_id, kind, feats))
+        if output == "long":
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    kind_col: kinds,
+                    "variable": variables,
+                    "value": np.asarray(values, dtype=np.float64),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                map_rows, columns=[id_col, kind_col, "features"]
+            )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield from run_batch(pdf)
+
+    if output == "long":
+        schema = f"{id_col} {id_type}, {kind_col} string, variable string, value double"
+    else:
+        schema = f"{id_col} {id_type}, {kind_col} string, features map<string,double>"
+    return df.select(id_col, tokens_col, kind_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# long-format path: (id, kind, sort, value) — grouped shuffle
+# ---------------------------------------------------------------------------
+
+
+def extract_features_long(
+    df: DataFrame,
+    settings: dict,
+    *,
+    column_id: str = "id",
+    column_kind: str = "kind",
+    column_sort: str | None = "time",
+    column_value: str = "value",
+    kind_to_settings: dict | None = None,
+) -> DataFrame:
+    """Extract features from a long frame via
+    ``groupBy(id, kind).applyInPandas`` — the reference's own Spark-binding
+    plan (bindings.py:164-265) with modern ``applyInPandas``.
+
+    The per-group sort happens inside the UDF (bindings.py:30-31); Spark
+    only has to co-locate groups, never globally sort.  Output is the long
+    triple frame ``(id, kind, variable, value:double)``.
+    """
+    _validate_settings(settings, kind_to_settings)
+    id_type = df.schema[column_id].dataType.simpleString()
+    sort_is_timestamp = (
+        column_sort is not None
+        and df.schema[column_sort].dataType.simpleString().startswith("timestamp")
+    )
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if column_sort is not None:
+            pdf = pdf.sort_values(column_sort)
+        kind = pdf[column_kind].iloc[0]
+        sample_id = pdf[column_id].iloc[0]
+        values = pdf[column_value].values
+        timestamps = (
+            pd.DatetimeIndex(pdf[column_sort].values) if sort_is_timestamp else None
+        )
+        fc = kind_to_settings.get(kind, settings) if kind_to_settings else settings
+        feats = list(
+            compute_series_features(values, str(kind), fc, timestamps=timestamps)
+        )
+        return pd.DataFrame(
+            {
+                column_id: [sample_id] * len(feats),
+                column_kind: [kind] * len(feats),
+                "variable": [f for f, _ in feats],
+                "value": np.asarray([v for _, v in feats], dtype=np.float64),
+            }
+        )
+
+    schema = (
+        f"{column_id} {id_type}, {column_kind} string, variable string, value double"
+    )
+    return df.groupBy(column_id, column_kind).applyInPandas(run_group, schema=schema)
+
+
+def melt_wide(
+    df: DataFrame,
+    *,
+    column_id: str,
+    column_sort: str | None,
+    value_columns: list[str] | None = None,
+) -> DataFrame:
+    """Wide → long restructuring (one column per kind), the Spark-native
+    ``unpivot`` — equivalent of the reference's melt recipe
+    (data.py:396-401, bindings.py:98-100)."""
+    fixed = [column_id] + ([column_sort] if column_sort else [])
+    if value_columns is None:
+        value_columns = [c for c in df.columns if c not in fixed]
+    return df.unpivot(
+        ids=fixed, values=value_columns, variableColumnName="kind",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: long triples → wide feature matrix
+# ---------------------------------------------------------------------------
+
+
+def pivot_features(
+    long_df: DataFrame,
+    *,
+    id_cols: list[str] | str = "doc_id",
+    feature_names: list[str] | None = None,
+) -> DataFrame:
+    """Long → wide: one row per id, one double column per feature, columns
+    sorted ascending (reference output contract, data.py:113-119).
+
+    Passing ``feature_names`` skips Spark's distinct-values scan job — for
+    the default comprehensive set that is 794 columns per kind, so prefer
+    :func:`pivot_features_map` in pipelines and pivot only at the edge."""
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    pivoted = long_df.groupBy(*id_cols)
+    if feature_names is not None:
+        df = pivoted.pivot("variable", sorted(feature_names)).agg(F.first("value"))
+    else:
+        df = pivoted.pivot("variable").agg(F.first("value"))
+        df = df.select(*id_cols, *sorted(c for c in df.columns if c not in id_cols))
+    return df
+
+
+def pivot_features_map(
+    long_df: DataFrame, *, id_cols: list[str] | str = "doc_id"
+) -> DataFrame:
+    """Long → one ``map<string,double>`` column per id: constant-width plan
+    regardless of feature count — the scale-friendly wide form."""
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    return long_df.groupBy(*id_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("variable"), F.col("value")))
+        ).alias("features")
+    )

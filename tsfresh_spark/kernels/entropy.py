@@ -1,0 +1,123 @@
+"""Entropy / complexity kernels.
+
+Semantics match the same-named calculators in
+/root/reference/tsfresh/feature_extraction/feature_calculators.py (line refs
+per kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsfresh_spark.kernels.helpers import sliding_windows, welch_psd
+from tsfresh_spark.kernels.registry import kernel
+
+
+@kernel("binned_entropy", "simple")
+def binned_entropy(x, max_bins):
+    """Shannon entropy of an equi-width histogram
+    (feature_calculators.py:1666-1694)."""
+    x = np.asarray(x)
+    if np.isnan(x).any():
+        return np.nan
+    hist, _ = np.histogram(x, bins=max_bins)
+    probs = hist / x.size
+    probs[probs == 0] = 1.0
+    return -np.sum(probs * np.log(probs))
+
+
+@kernel("sample_entropy", "simple", high_comp_cost=True)
+def sample_entropy(x):
+    """SampEn with m=2, r=0.2·std, Chebyshev distance
+    (feature_calculators.py:1701-1754).  Row-at-a-time pairwise distances so
+    peak memory stays O(n) per row instead of O(n²) for the full matrix."""
+    x = np.asarray(x, dtype=float)
+    if np.isnan(x).any():
+        return np.nan
+    m = 2
+    tol = 0.2 * np.std(x)
+
+    def _count_similar(width):
+        windows = sliding_windows(x, width)
+        # count of pairs (i, j) with max|w_i - w_j| <= tol, minus the diagonal
+        total = 0
+        for row in windows:
+            total += np.sum(np.abs(row - windows).max(axis=1) <= tol) - 1
+        return total
+
+    B = _count_similar(m)
+    A = _count_similar(m + 1)
+    return -np.log(A / B)
+
+
+@kernel("approximate_entropy", "simple", high_comp_cost=True)
+def approximate_entropy(x, m, r):
+    """ApEn (feature_calculators.py:1759-1805); r is scaled by std.  The
+    pairwise Chebyshev count is evaluated in row blocks (exact integer
+    counts, so blocking cannot change the result) to bound memory on long
+    series."""
+    x = np.asarray(x, dtype=float)
+    N = x.size
+    r *= np.std(x)
+    if r < 0:
+        raise ValueError("Parameter r must be positive.")
+    if N <= m + 1:
+        return 0
+
+    def _phi(mm):
+        windows = sliding_windows(x, mm)
+        k = len(windows)
+        counts = np.zeros(k, dtype=np.int64)
+        block = max(1, int(2**22 // max(1, k * mm)))  # ~32 MB fp64 working set
+        for start in range(0, k, block):
+            chunk = windows[start : start + block]
+            d = np.abs(chunk[:, None, :] - windows[None, :, :]).max(axis=2)
+            counts += (d <= r).sum(axis=0)
+        C = counts / k
+        return np.sum(np.log(C)) / k
+
+    return np.abs(_phi(m) - _phi(m + 1))
+
+
+@kernel("permutation_entropy", "simple")
+def permutation_entropy(x, tau, dimension):
+    """Entropy of ordinal patterns over windows of ``dimension`` starting
+    every ``tau`` (feature_calculators.py:1866-1915)."""
+    X = sliding_windows(np.asarray(x), dimension, tau) if len(x) >= dimension else np.empty((0, dimension))
+    if len(X) == 0:
+        return np.nan
+    permutations = np.argsort(np.argsort(X))
+    _, counts = np.unique(permutations, axis=0, return_counts=True)
+    probs = counts / len(permutations)
+    return -np.sum(probs * np.log(probs))
+
+
+@kernel("lempel_ziv_complexity", "simple")
+def lempel_ziv_complexity(x, bins):
+    """Number of LZ sub-words over the binned sequence, divided by n
+    (feature_calculators.py:1825-1862).  Inherently sequential scan."""
+    x = np.asarray(x)
+    edges = np.linspace(np.min(x), np.max(x), bins + 1)[1:]
+    sequence = np.searchsorted(edges, x, side="left")
+    words = set()
+    n = len(sequence)
+    ind, inc = 0, 1
+    while ind + inc <= n:
+        word = tuple(sequence[ind : ind + inc])
+        if word in words:
+            inc += 1
+        else:
+            words.add(word)
+            ind += inc
+            inc = 1
+    return len(words) / n
+
+
+@kernel("fourier_entropy", "simple")
+def fourier_entropy(x, bins):
+    """Binned entropy of the max-normalized Welch PSD
+    (feature_calculators.py:1809-1821)."""
+    pxx = welch_psd(np.asarray(x, dtype=float))
+    if pxx.size == 0:
+        return np.nan
+    return binned_entropy(pxx / np.max(pxx), bins)

@@ -1,0 +1,375 @@
+"""Model-fitting kernels — trends, AR processes, unit-root tests, Langevin
+dynamics, subsequence matching.
+
+Semantics match the same-named calculators in
+/root/reference/tsfresh/feature_extraction/feature_calculators.py (line refs
+per kernel).  The statistical machinery the reference pulls from
+scipy/statsmodels is re-derived in tsfresh_spark.kernels.helpers or inline
+(OLS via lstsq, MacKinnon p-values from the published response-surface
+tables) so executors need only numpy + pandas.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from tsfresh_spark.kernels.helpers import (
+    acf_adjusted,
+    chunked_aggregate,
+    levinson_durbin_pacf,
+    linregress_np,
+    normal_sf,
+    ols_lstsq,
+    sliding_windows,
+)
+from tsfresh_spark.kernels.registry import kernel
+
+
+@kernel("linear_trend", "combiner")
+def linear_trend(x, param):
+    """Least-squares line against 0..n-1 (feature_calculators.py:1343-1366)."""
+    fit = linregress_np(np.arange(len(x)), x)
+    return [(f'attr_"{cfg["attr"]}"', getattr(fit, cfg["attr"])) for cfg in param]
+
+
+@kernel(
+    "linear_trend_timewise", "combiner", input="series", requires_timestamps=True
+)
+def linear_trend_timewise(x, param):
+    """Least-squares line against hours elapsed since the first timestamp;
+    requires a DatetimeIndex (feature_calculators.py:2274-2305)."""
+    ix = x.index
+    times_hours = np.asarray((ix - ix[0]).total_seconds() / 3600.0)
+    fit = linregress_np(times_hours, x.values)
+    return [(f'attr_"{cfg["attr"]}"', getattr(fit, cfg["attr"])) for cfg in param]
+
+
+@kernel("agg_linear_trend", "combiner")
+def agg_linear_trend(x, param):
+    """Chunk-aggregate downsample then line fit, cached per
+    (f_agg, chunk_len) (feature_calculators.py:2171-2222)."""
+    cache = {}
+    out = []
+    for cfg in param:
+        chunk_len, f_agg, attr = cfg["chunk_len"], cfg["f_agg"], cfg["attr"]
+        key = (f_agg, chunk_len)
+        if key not in cache:
+            if chunk_len >= len(x):
+                cache[key] = None
+            else:
+                agg = chunked_aggregate(x, f_agg, chunk_len)
+                cache[key] = linregress_np(np.arange(len(agg)), agg)
+        fit = cache[key]
+        name = f'attr_"{attr}"__chunk_len_{chunk_len}__f_agg_"{f_agg}"'
+        out.append((name, np.nan if fit is None else getattr(fit, attr)))
+    return out
+
+
+@kernel("ar_coefficient", "combiner")
+def ar_coefficient(x, param):
+    """OLS-fit AR(k) with intercept; params[0] is the constant, params[i] the
+    lag-i coefficient — cached per k (feature_calculators.py:1459-1507,
+    mirroring statsmodels AutoReg(lags=k, trend="c")).  On a failed fit the
+    reference stores k NaNs, which makes coeff == k index 0 — replicated."""
+    cache = {}
+    res = {}
+    xa = np.asarray(x, dtype=float)
+    for cfg in param:
+        k, p = cfg["k"], cfg["coeff"]
+        name = f"coeff_{p}__k_{k}"
+        if k not in cache:
+            try:
+                if len(xa) <= k:
+                    raise ValueError("series shorter than lag order")
+                y = xa[k:]
+                cols = [np.ones(len(y))]
+                cols += [xa[k - j : len(xa) - j] for j in range(1, k + 1)]
+                X = np.column_stack(cols)
+                cache[k] = ols_lstsq(X, y)
+            except (ZeroDivisionError, np.linalg.LinAlgError, ValueError):
+                cache[k] = [np.nan] * k
+        params = cache[k]
+        if p <= k:
+            try:
+                res[name] = params[p]
+            except IndexError:
+                res[name] = 0
+        else:
+            res[name] = np.nan
+    return list(res.items())
+
+
+@kernel("agg_autocorrelation", "combiner")
+def agg_autocorrelation(x, param):
+    """Aggregate of the ACF vector (adjusted denominator), FFT path for
+    n > 1250 (feature_calculators.py:387-436)."""
+    THRESHOLD_TO_USE_FFT = 1250
+    x = np.asarray(x)
+    var = np.var(x)
+    n = len(x)
+    max_maxlag = max(cfg["maxlag"] for cfg in param)
+    if np.abs(var) < 10**-10 or n == 1:
+        a = [0] * len(x)
+    else:
+        a = acf_adjusted(x, nlags=max_maxlag, use_fft=n > THRESHOLD_TO_USE_FFT)[1:]
+    return [
+        (
+            f'f_agg_"{cfg["f_agg"]}"__maxlag_{cfg["maxlag"]}',
+            getattr(np, cfg["f_agg"])(a[: int(cfg["maxlag"])]),
+        )
+        for cfg in param
+    ]
+
+
+@kernel("partial_autocorrelation", "combiner")
+def partial_autocorrelation(x, param):
+    """PACF via Levinson-Durbin, lag capped at 50% of the sample
+    (feature_calculators.py:440-495)."""
+    max_demanded_lag = max(cfg["lag"] for cfg in param)
+    n = len(x)
+    if n <= 1:
+        pacf_coeffs = [np.nan] * (max_demanded_lag + 1)
+    else:
+        max_lag = n // 2 - 1 if max_demanded_lag >= n // 2 else max_demanded_lag
+        if max_lag > 0:
+            pacf_coeffs = list(levinson_durbin_pacf(np.asarray(x, dtype=float), max_lag))
+            pacf_coeffs += [np.nan] * max(0, max_demanded_lag - max_lag)
+        else:
+            pacf_coeffs = [np.nan] * (max_demanded_lag + 1)
+    return [(f"lag_{cfg['lag']}", pacf_coeffs[cfg["lag"]]) for cfg in param]
+
+
+# ---------------------------------------------------------------------------
+# Augmented Dickey-Fuller ("c" regression, AIC lag selection) with MacKinnon
+# (1994, 2010) response-surface p-values — the published tables for the
+# no-trend, single-series case.
+# ---------------------------------------------------------------------------
+
+_TAU_MAX_C = 2.74
+_TAU_MIN_C = -18.83
+_TAU_STAR_C = -1.61
+_TAU_SMALLP_C = (2.1659, 1.4412, 0.038269)
+_TAU_LARGEP_C = (1.7339, 9.3202e-1, -1.2745e-1, -1.0368e-2)
+
+
+def _norm_cdf(z: float) -> float:
+    return 1.0 - normal_sf(z)
+
+
+def _mackinnon_pvalue(stat: float) -> float:
+    if np.isnan(stat):
+        return np.nan
+    if stat > _TAU_MAX_C:
+        return 1.0
+    if stat < _TAU_MIN_C:
+        return 0.0
+    coeffs = _TAU_SMALLP_C if stat <= _TAU_STAR_C else _TAU_LARGEP_C
+    poly = 0.0
+    for i, c in enumerate(coeffs):
+        poly += c * stat**i
+    return _norm_cdf(poly)
+
+
+def _ols_fit(X: np.ndarray, y: np.ndarray):
+    """OLS returning (params, ssr, tvalue-of-first-regressor, nobs, k)."""
+    params, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ params
+    ssr = float(resid @ resid)
+    nobs, k = X.shape
+    df_resid = nobs - k
+    sigma2 = ssr / df_resid if df_resid > 0 else np.nan
+    XtX_inv = np.linalg.pinv(X.T @ X)
+    se0 = math.sqrt(max(sigma2 * XtX_inv[0, 0], 0.0)) if df_resid > 0 else np.nan
+    t0 = params[0] / se0 if se0 and se0 > 0 else np.nan
+    return params, ssr, t0, nobs, k
+
+
+def _gaussian_aic(ssr: float, nobs: int, k_params: int) -> float:
+    llf = -nobs / 2.0 * (math.log(2 * math.pi) + math.log(ssr / nobs) + 1.0)
+    return -2.0 * llf + 2.0 * k_params
+
+
+def _adfuller_c_aic(x: np.ndarray):
+    """ADF test, constant-only regression, AIC autolag — returns
+    (teststat, pvalue, usedlag).  Raises ValueError when the sample is too
+    short, like the statsmodels implementation the reference wraps."""
+    x = np.asarray(x, dtype=float)
+    nobs_full = len(x)
+    if nobs_full < 4:
+        raise ValueError("sample size too short for ADF")
+    maxlag = int(np.ceil(12.0 * (nobs_full / 100.0) ** (1 / 4.0)))
+    # ntrend = 1 for "c"; need enough dof
+    maxlag = min(nobs_full // 2 - 2, maxlag)
+    if maxlag < 0:
+        raise ValueError("sample size too short for ADF regression")
+    xdiff = np.diff(x)
+
+    def _design(lag):
+        # rows t: regress xdiff[t] on [x[t], xdiff[t-1], ..., xdiff[t-lag], 1]
+        nobs = len(xdiff) - maxlag  # common sample across candidate lags
+        start = maxlag
+        y = xdiff[start:]
+        cols = [x[start : start + nobs]]
+        for j in range(1, lag + 1):
+            cols.append(xdiff[start - j : start - j + nobs])
+        cols.append(np.ones(nobs))
+        return np.column_stack(cols), y
+
+    best = None
+    for lag in range(maxlag + 1):
+        X, y = _design(lag)
+        _, ssr, t0, nobs, k = _ols_fit(X, y)
+        aic = _gaussian_aic(ssr, nobs, k)
+        if best is None or aic < best[0]:
+            best = (aic, lag)
+    usedlag = best[1]
+    # final regression on the longest sample for the chosen lag
+    nobs = len(xdiff) - usedlag
+    y = xdiff[usedlag:]
+    cols = [x[usedlag : usedlag + nobs]]
+    for j in range(1, usedlag + 1):
+        cols.append(xdiff[usedlag - j : usedlag - j + nobs])
+    cols.append(np.ones(nobs))
+    X = np.column_stack(cols)
+    _, _, t0, _, _ = _ols_fit(X, y)
+    return t0, _mackinnon_pvalue(t0), usedlag
+
+
+@kernel("augmented_dickey_fuller", "combiner")
+def augmented_dickey_fuller(x, param):
+    """ADF unit-root test attributes, cached per autolag setting
+    (feature_calculators.py:499-544).  Only the default autolag="AIC" is
+    evaluated; failures map to NaN exactly as the reference's except-clauses."""
+    cache = {}
+
+    def compute(autolag):
+        if autolag not in cache:
+            try:
+                if autolag != "AIC":
+                    raise ValueError(f"unsupported autolag {autolag!r}")
+                cache[autolag] = _adfuller_c_aic(np.asarray(x, dtype=float))
+            except (np.linalg.LinAlgError, ValueError):
+                cache[autolag] = (np.nan, np.nan, np.nan)
+        return cache[autolag]
+
+    res = []
+    for cfg in param:
+        autolag = cfg.get("autolag", "AIC")
+        adf = compute(autolag)
+        name = f'attr_"{cfg["attr"]}"__autolag_"{autolag}"'
+        attr_index = {"teststat": 0, "pvalue": 1, "usedlag": 2}.get(cfg["attr"])
+        res.append((name, adf[attr_index] if attr_index is not None else np.nan))
+    return res
+
+
+# ------------------------------------------------------- Langevin / Friedrich
+
+
+def _friedrich_coefficients(x, m, r):
+    """Polyfit of quantile-binned mean drift (feature_calculators.py:131-173);
+    keeps the reference's pd.qcut bin semantics."""
+    if m <= 0:
+        raise ValueError("order of polynomial must be positive")
+    x = np.asarray(x, dtype=float)
+    df = pd.DataFrame({"signal": x[:-1], "delta": np.diff(x)})
+    try:
+        df["quantiles"] = pd.qcut(df.signal, r)
+    except (ValueError, IndexError):
+        return [np.nan] * (m + 1)
+    grouped = df.groupby("quantiles", observed=False)
+    result = pd.DataFrame(
+        {"x_mean": grouped.signal.mean(), "y_mean": grouped.delta.mean()}
+    ).dropna()
+    try:
+        return np.polyfit(result.x_mean, result.y_mean, deg=m)
+    except (np.linalg.LinAlgError, ValueError):
+        return [np.nan] * (m + 1)
+
+
+@kernel("friedrich_coefficients", "combiner")
+def friedrich_coefficients(x, param):
+    """Langevin drift polynomial coefficients, cached per (m, r)
+    (feature_calculators.py:2082-2130)."""
+    cache = {}
+    res = {}
+    for cfg in param:
+        m, r, coeff = cfg["m"], cfg["r"], cfg["coeff"]
+        if coeff < 0:
+            raise ValueError(f"coefficients must be positive or zero, found {coeff}")
+        if (m, r) not in cache:
+            cache[(m, r)] = _friedrich_coefficients(x, m, r)
+        try:
+            res[f"coeff_{coeff}__m_{m}__r_{r}"] = cache[(m, r)][coeff]
+        except IndexError:
+            res[f"coeff_{coeff}__m_{m}__r_{r}"] = np.nan
+    return list(res.items())
+
+
+@kernel("max_langevin_fixed_point", "simple")
+def max_langevin_fixed_point(x, r, m):
+    """Largest real root of the fitted drift polynomial
+    (feature_calculators.py:2134-2167)."""
+    coeff = _friedrich_coefficients(x, m, r)
+    try:
+        return np.max(np.real(np.roots(coeff)))
+    except (np.linalg.LinAlgError, ValueError):
+        return np.nan
+
+
+# ------------------------------------------------------ subsequence matching
+
+
+def _distance_profile(query: np.ndarray, series: np.ndarray, normalize: bool):
+    """Euclidean distance from the query to every same-length subsequence,
+    z-normalized when requested (the MASS distance profile the reference gets
+    from stumpy.core.mass, feature_calculators.py:2513-2516)."""
+    m = len(query)
+    windows = sliding_windows(series, m).astype(float)
+    q = query.astype(float)
+    if normalize:
+        qs = np.std(q)
+        q = (q - np.mean(q)) / (qs if qs > 0 else 1.0)
+        mu = windows.mean(axis=1, keepdims=True)
+        sd = windows.std(axis=1, keepdims=True)
+        sd[sd == 0] = 1.0
+        windows = (windows - mu) / sd
+    diffs = windows - q[None, :]
+    return np.sqrt(np.sum(diffs * diffs, axis=1))
+
+
+@kernel("query_similarity_count", "combiner")
+def query_similarity_count(x, param):
+    """Count of subsequences within a distance threshold of a query; NaN when
+    no query is supplied — the default (feature_calculators.py:2474-2521)."""
+    res = {}
+    T = np.asarray(x, dtype=float)
+    for cfg in param:
+        from tsfresh_spark.naming import encode_parameters
+
+        key = encode_parameters(cfg)
+        normalize = cfg.get("normalize", True)
+        threshold = cfg.get("threshold", 0.0)
+        Q = cfg.get("query", None)
+        count = np.nan
+        if Q is not None:
+            Q = np.asarray(Q, dtype=float)
+            if Q.size >= 3 and len(T) >= Q.size:
+                profile = _distance_profile(Q, T, normalize)
+                count = int(np.sum(profile <= threshold))
+        res[key] = count
+    return list(res.items())
+
+
+@kernel("matrix_profile", "combiner", available=False)
+def matrix_profile(x, param):
+    """Tukey five-number summary + mean of the 1-D matrix profile
+    (feature_calculators.py:2383-2471).  The optional ``matrixprofile``
+    dependency is unavailable, so — exactly like the reference — the
+    calculator is registered but excluded from the default settings."""
+    raise ImportError(
+        "matrix_profile requires the optional 'matrixprofile' package, which "
+        "is not installed; the calculator is disabled in default settings"
+    )

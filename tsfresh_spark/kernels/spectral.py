@@ -1,0 +1,210 @@
+"""Spectral kernels — FFT, Welch PSD, CWT.
+
+Semantics match the same-named calculators in
+/root/reference/tsfresh/feature_extraction/feature_calculators.py (line refs
+per kernel).  These are the classic "combiner" kernels: one FFT / one CWT /
+one Welch run is shared across the whole parameter list (the reference's
+central performance idea, kept verbatim).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tsfresh_spark.kernels.helpers import cwt_ricker, welch_psd
+from tsfresh_spark.kernels.registry import kernel
+
+
+@kernel("fft_coefficient", "combiner")
+def fft_coefficient(x, param):
+    """real/imag/abs/angle of rfft coefficients; one FFT for all (up to 400)
+    outputs (feature_calculators.py:1067-1119)."""
+    fft = np.fft.rfft(x)
+
+    def agg(value, attr):
+        if attr == "real":
+            return value.real
+        if attr == "imag":
+            return value.imag
+        if attr == "abs":
+            return np.abs(value)
+        if attr == "angle":
+            return np.angle(value, deg=True)
+        raise ValueError(f'attr must be "real", "imag", "angle" or "abs", got {attr!r}')
+
+    out = []
+    for cfg in param:
+        coeff, attr = cfg["coeff"], cfg["attr"]
+        value = agg(fft[coeff], attr) if coeff < len(fft) else np.nan
+        out.append((f'attr_"{attr}"__coeff_{coeff}', value))
+    return out
+
+
+@kernel("fft_aggregated", "combiner")
+def fft_aggregated(x, param):
+    """Spectral centroid / variance / skew / kurtosis of |rfft|
+    (feature_calculators.py:1123-1231), including the var<0.5 → NaN guards."""
+    y = np.abs(np.fft.rfft(x))
+
+    def moment(k):
+        return y.dot(np.arange(len(y), dtype=float) ** k) / y.sum()
+
+    def centroid():
+        return moment(1)
+
+    def spectral_variance():
+        return moment(2) - centroid() ** 2
+
+    def skew():
+        var = spectral_variance()
+        if var < 0.5:
+            return np.nan
+        c = centroid()
+        return (moment(3) - 3 * c * var - c**3) / var**1.5
+
+    def kurtosis():
+        var = spectral_variance()
+        if var < 0.5:
+            return np.nan
+        c = centroid()
+        return (moment(4) - 4 * c * moment(3) + 6 * moment(2) * c**2 - 3 * c) / var**2
+
+    calc = {
+        "centroid": centroid,
+        "variance": spectral_variance,
+        "skew": skew,
+        "kurtosis": kurtosis,
+    }
+    return [(f'aggtype_"{cfg["aggtype"]}"', calc[cfg["aggtype"]]()) for cfg in param]
+
+
+@kernel("spkt_welch_density", "combiner")
+def spkt_welch_density(x, param):
+    """Welch PSD sampled at the requested coefficients
+    (feature_calculators.py:1418-1455); nperseg = min(n, 256)."""
+    pxx = welch_psd(np.asarray(x, dtype=float))
+    out = []
+    for cfg in param:
+        coeff = cfg["coeff"]
+        value = pxx[coeff] if coeff < len(pxx) else np.nan
+        out.append((f"coeff_{coeff}", value))
+    return out
+
+
+@kernel("cwt_coefficients", "combiner")
+def cwt_coefficients(x, param):
+    """Ricker ("mexican hat") CWT coefficients; the transform is computed
+    once per distinct widths tuple and indexed for every (w, coeff) pair
+    (feature_calculators.py:1370-1414).  The transform itself is the direct
+    Ricker-convolution CWT (helpers.cwt_ricker) — same wavelet family as the
+    reference's pywt "mexh" call, evaluated without the pywt dependency."""
+    cache = {}
+    out = []
+    for cfg in param:
+        widths = tuple(cfg["widths"])
+        w, coeff = cfg["w"], cfg["coeff"]
+        if widths not in cache:
+            cache[widths] = cwt_ricker(x, widths)
+        mat = cache[widths]
+        name = f"coeff_{coeff}__w_{w}__widths_{widths}"
+        i = widths.index(w)
+        out.append((name, mat[i, coeff] if coeff < mat.shape[1] else np.nan))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ridge-line peak finding over the CWT plane (the classic find_peaks_cwt
+# algorithm: Du, Kibbe, Lin (2006), "Improved peak detection in mass spectrum
+# by incorporating continuous wavelet transform-based pattern matching").
+# ---------------------------------------------------------------------------
+
+
+def _relative_maxima(mat: np.ndarray) -> np.ndarray:
+    """Boolean matrix of strict relative maxima along each row (order 1,
+    clipped boundaries)."""
+    n = mat.shape[1]
+    idx = np.arange(n)
+    left = mat[:, np.maximum(idx - 1, 0)]
+    right = mat[:, np.minimum(idx + 1, n - 1)]
+    return (mat > left) & (mat > right)
+
+
+def _identify_ridge_lines(mat, max_distances, gap_thresh):
+    """Connect per-row relative maxima into ridge lines across scales."""
+    all_max = _relative_maxima(mat)
+    rows_with_max = np.nonzero(all_max.any(axis=1))[0]
+    if len(rows_with_max) == 0:
+        return []
+    start_row = rows_with_max[-1]
+    # line = [rows, cols, gap]
+    lines = [[[start_row], [col], 0] for col in np.nonzero(all_max[start_row])[0]]
+    final = []
+    for row in range(start_row - 1, -1, -1):
+        this_cols = np.nonzero(all_max[row])[0]
+        for line in lines:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in lines])
+        for col in this_cols:
+            attached = None
+            if len(prev_cols):
+                diffs = np.abs(col - prev_cols)
+                closest = int(np.argmin(diffs))
+                if diffs[closest] <= max_distances[row]:
+                    attached = lines[closest]
+            if attached is not None:
+                attached[0].append(row)
+                attached[1].append(int(col))
+                attached[2] = 0
+            else:
+                lines.append([[row], [int(col)], 0])
+        for i in range(len(lines) - 1, -1, -1):
+            if lines[i][2] > gap_thresh:
+                final.append(lines[i])
+                del lines[i]
+    out = []
+    for rows, cols, _gap in final + lines:
+        order = np.argsort(rows)
+        out.append(([rows[i] for i in order], [cols[i] for i in order]))
+    return out
+
+
+def _filter_ridge_lines(mat, lines, min_snr=1.0, noise_perc=10):
+    num_points = mat.shape[1]
+    min_length = np.ceil(mat.shape[0] / 4.0)
+    window_size = int(np.ceil(num_points / 20.0))
+    half, odd = window_size // 2, window_size % 2
+    row_one = np.abs(mat[0, :])
+    noises = np.array(
+        [
+            np.percentile(
+                row_one[max(i - half, 0) : min(i + half + odd, num_points)], noise_perc
+            )
+            for i in range(num_points)
+        ]
+    )
+
+    def keep(line):
+        rows, cols = line
+        if len(rows) < min_length:
+            return False
+        noise = noises[cols[0]]
+        if noise == 0:
+            return True
+        snr = abs(mat[rows[0], cols[0]] / noise)
+        return snr >= min_snr
+
+    return [line for line in lines if keep(line)]
+
+
+@kernel("number_cwt_peaks", "simple")
+def number_cwt_peaks(x, n):
+    """Count of CWT ridge-line peaks over Ricker widths 1..n
+    (feature_calculators.py:1319-1339 — the reference's find_peaks_cwt call
+    with its custom ricker, re-derived from the published CWT peak-finding
+    algorithm)."""
+    widths = np.arange(1, n + 1, dtype=float)
+    mat = cwt_ricker(np.asarray(x, dtype=float), widths)
+    gap_thresh = np.ceil(widths[0])
+    lines = _identify_ridge_lines(mat, widths / 4.0, gap_thresh)
+    filtered = _filter_ridge_lines(mat, lines)
+    return len(filtered)
