@@ -1,0 +1,170 @@
+"""Gap handling: regularize a series onto a fixed time grid and fill the
+holes — forward-fill or linear interpolation — entirely with window
+functions (no UDFs, no per-row Python).
+
+The reference rejects NaN input and only *warns* about non-uniform sampling
+(/root/reference/tsfresh/utilities/dataframe_functions.py:532-546,
+tsfresh/feature_extraction/data.py:148-167); this engine makes gap repair an
+explicit, testable stage before windowed rollup (BASELINE.json north_rule).
+
+Scale notes: every step is one window over (id) ordered by time — a single
+hash-partition shuffle per fill, reused by Catalyst across the chained
+window expressions.  Grid generation is `sequence()` + `explode` per series
+(rows ∝ output size, no driver loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_forward(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace nulls with the most recent non-null value within the series.
+
+    Leading nulls (no predecessor) remain null.
+    """
+    out_col = out_col or value_col
+    w = (
+        Window.partitionBy(*id_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def fill_backward(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace nulls with the next non-null value within the series."""
+    out_col = out_col or value_col
+    w = (
+        Window.partitionBy(*id_cols)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return df.withColumn(out_col, F.first(value_col, ignorenulls=True).over(w))
+
+
+def fill_linear(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation between the surrounding non-null neighbours.
+
+    Position is the order column cast to double (timestamps → epoch
+    seconds).  Edge semantics follow pandas ``interpolate(method="linear")``:
+    leading nulls stay null, trailing nulls take the last valid value.
+    """
+    out_col = out_col or value_col
+    pos = F.col(order_col).cast("double")
+    v = F.col(value_col)
+    wb = (
+        Window.partitionBy(*id_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*id_cols)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(v.isNotNull(), pos), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(F.when(v.isNotNull(), pos), ignorenulls=True).over(wf)
+    interpolated = prev_v + (next_v - prev_v) * (pos - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), F.lit(None))  # leading gap
+        .when(next_v.isNull(), prev_v)  # trailing gap → last valid
+        .otherwise(interpolated)
+    )
+    return df.withColumn(out_col, filled)
+
+
+def regularize(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    bucket_agg: str = "last",
+) -> DataFrame:
+    """Snap observations onto a fixed ``step`` grid per series.
+
+    Buckets with observations aggregate to one value (``last`` by arrival
+    order, or ``mean``/``min``/``max``/``sum``); empty buckets between the
+    series' first and last observation appear with a null value, ready for
+    :func:`fill_forward` / :func:`fill_linear`.
+
+    Output: id_cols + ``bucket_ts`` + value_col (nullable).
+    """
+    bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
+    if bucket_agg == "last":
+        agg = F.max_by(F.col(value_col), F.col(ts_col)).alias(value_col)
+    elif bucket_agg in ("mean", "avg"):
+        agg = F.avg(value_col).alias(value_col)
+    elif bucket_agg in ("min", "max", "sum"):
+        agg = getattr(F, bucket_agg)(value_col).alias(value_col)
+    else:
+        raise ValueError(f"unsupported bucket_agg {bucket_agg!r}")
+    observed = df.groupBy(*id_cols, bucket).agg(agg)
+
+    bounds = observed.groupBy(*id_cols).agg(
+        F.min("bucket_ts").alias("_first"), F.max("bucket_ts").alias("_last")
+    )
+    grid = bounds.select(
+        *id_cols,
+        F.explode(
+            F.sequence(F.col("_first"), F.col("_last"), F.expr(f"interval {step}"))
+        ).alias("bucket_ts"),
+    )
+    return grid.join(observed, [*id_cols, "bucket_ts"], "left")
+
+
+def regularize_and_fill(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    method: str = "ffill",
+    bucket_agg: str = "last",
+) -> DataFrame:
+    """regularize → fill in one call; ``method`` ∈ {"ffill", "linear"}."""
+    grid = regularize(
+        df,
+        id_cols=id_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        step=step,
+        bucket_agg=bucket_agg,
+    )
+    if method == "ffill":
+        return fill_forward(
+            grid, id_cols=id_cols, order_col="bucket_ts", value_col=value_col
+        )
+    if method == "linear":
+        return fill_linear(
+            grid, id_cols=id_cols, order_col="bucket_ts", value_col=value_col
+        )
+    raise ValueError(f"unsupported fill method {method!r}")

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk_bruteforce` — exact top-k by cosine; the small query set
+  is broadcast, so the plan is a broadcast-nested-loop over the corpus with
+  no shuffle of the big side.  The O(N·Q) baseline and the correctness
+  oracle for the approximate path.
+* :func:`cosine_topk_lsh` — random-hyperplane LSH bucketing: corpus and
+  queries are hashed to sign-pattern buckets; candidates are per-bucket
+  joins, then exact cosine re-ranking.  The 100-TB path: candidate
+  generation shuffles on bucket keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, nid, sim) for each query row.
+
+    Similarity is rounded (default 6 digits) before ranking so that ordering
+    is reproducible across engines; ties break on neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qemb"),
+    )
+    sim = _cosine(F.col("emb"), F.col("qemb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash mix —
+    reproducible across sessions without RNG state."""
+    out = []
+    x = (plane_idx + 1) * 2654435761 % (2**32)
+    for i in range(dim):
+        # xorshift-style mix; map to [-1, 1)
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append((x / 2**31) - 1.0)
+    return out
+
+
+def lsh_bucket_expr(vec_col, dim: int, num_planes: int = 12):
+    """Sign-pattern bucket id from ``num_planes`` random hyperplanes."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        sign_bit = (_dot(v, plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(sign_bit, p))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 3,
+    num_planes: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH sign-bucket with the query;
+    exact cosine re-ranks within the bucket.  Recall rises with fewer planes
+    (bigger buckets); cost falls with more planes."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    ).withColumn("bucket", lsh_bucket_expr("emb", dim, num_planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qemb"),
+    ).withColumn("bucket", lsh_bucket_expr("qemb", dim, num_planes))
+    sim = _cosine(F.col("emb"), F.col("qemb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators: token counting, quality signals, language ID,
+document fingerprinting.  All JVM-side expressions (split / transform /
+aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword sets for the n-gram language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "que", "pour"],
+}
+
+_EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "with", "as", "at", "by"]
+
+
+def text_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Basic per-document statistics: characters, whitespace tokens, mean
+    word length, distinct words, type-token ratio, space count."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    word_lens = F.transform(words, F.length)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        (
+            F.aggregate(word_lens, F.lit(0).cast("long"), lambda a, x: a + x).cast(
+                "double"
+            )
+            / n_words
+        ).alias("mean_word_len"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        (n_distinct.cast("double") / n_words).alias("type_token_ratio"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("long").alias(
+            "n_spaces"
+        ),
+    )
+
+
+def token_count(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish sub-word estimate: word-piece count
+    approximated as ceil(word_len / 4) per word (the common ~4-chars/token
+    heuristic), all in one expression."""
+    words = F.split(F.col(text_col), r"\s+")
+    bpe_ish = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_whitespace_tokens"),
+        bpe_ish.alias("n_bpe_ish_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals in the Gopher/C4 style: length, mean word
+    length band, stopword ratio, alpha ratio, repetition — composed into a
+    [0, 1] score.  Pure column algebra."""
+    t = F.col(text_col)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    mean_wl = (
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double")
+        / n_words
+    )
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: F.lower(w).isin(_EN_STOPWORDS))).cast("double")
+        / n_words
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when(distinct_ratio >= 0.3, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_word_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language heuristic: score each candidate language by its
+    stopword hit count over the doc's words; argmax wins (ties → 'und').
+    JVM-only; for production-quality LID swap in a fastText-style model via
+    mapInPandas — the plumbing is the same."""
+    words = F.transform(F.split(F.col(text_col), r"\s+"), F.lower)
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in langs], pred.alias("predicted_lang")
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum rolling hash over
+    ``window``-gram shingles — a compact dedup/citation key."""
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i + window <= F.size(words), F.concat_ws(" ", F.slice(words, i + 1, window))
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.array_min(F.transform(grams, F.xxhash64)), F.xxhash64(F.col(text_col))
+        ).alias("fingerprint"),
+    )
