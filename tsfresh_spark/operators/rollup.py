@@ -1,0 +1,248 @@
+"""The rollup / downsample / retention engine (BASELINE.json north rule).
+
+Tier cascade over a corpus of (doc_id, source) series:
+
+    raw   — archival of the original irregular points, Gorilla-compressed in
+            per-day chunks (no features);
+    base  — ("1m") gap-filled regular grid at ``base_step``: the canonical
+            series every higher tier aggregates; stored compressed per day;
+    1h/1d — continuous aggregates: per (doc_id, source, window) the feature
+            vector (tsfresh calculator family via the kernel library) over
+            the base-grid points inside the window, plus the compressed
+            point payload.
+
+Each higher tier decodes the previous tier's payloads instead of rescanning
+raw input — the codec is bit-exact, so "cascade" and "direct" produce
+identical features (asserted in tests).  Every tier write is range-laid-out
+(repartitionByRange on doc_id, sorted within partitions) and recorded in the
+manifest with per-file row/byte metrics and a COMMIT record; a re-run of the
+same job_id skips committed tiers (resume from checkpoint).
+
+Timestamps are epoch seconds (int64) throughout the engine — integer window
+arithmetic (``ts - ts % step``) is exact, codegen-friendly, and avoids
+timezone semantics entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsfresh_spark.extract import compute_series_features
+from tsfresh_spark.functions.codec import decode_series, encode_series
+from tsfresh_spark.plans.manifest import Manifest
+
+DAY = 86400
+
+
+@dataclass
+class TierSpec:
+    name: str
+    window_seconds: int
+    compute_features: bool = True
+
+
+DEFAULT_TIERS = [
+    TierSpec("1h", 3600),
+    TierSpec("1d", DAY),
+]
+
+
+@dataclass
+class RollupEngine:
+    spark: SparkSession
+    base_path: str
+    settings: dict
+    id_cols: tuple[str, str] = ("doc_id", "source")
+    base_step_seconds: int = 60
+    gap_method: str = "ffill"
+    tiers: list[TierSpec] = field(default_factory=lambda: list(DEFAULT_TIERS))
+    range_partitions: int | None = None
+
+    def __post_init__(self):
+        self.manifest = Manifest(self.spark, self.base_path)
+
+    # ------------------------------------------------------------------ io
+
+    def tier_path(self, tier: str) -> str:
+        return f"{self.base_path.rstrip('/')}/tier={tier}"
+
+    def _write(self, df: DataFrame, tier: str) -> str:
+        path = self.tier_path(tier)
+        doc_col = self.id_cols[0]
+        out = df
+        if self.range_partitions:
+            out = out.repartitionByRange(self.range_partitions, doc_col)
+        else:
+            out = out.repartitionByRange(doc_col)
+        out = out.sortWithinPartitions(doc_col, "window_start")
+        out.write.mode("overwrite").parquet(path)
+        return path
+
+    # ------------------------------------------------------- point shuttling
+
+    def _chunk_points(self, points: DataFrame, window_seconds: int) -> DataFrame:
+        """points (id..., ts long, value double) → one row per window with
+        sorted ts/value arrays (exact order by ts)."""
+        idc = list(self.id_cols)
+        bucketed = points.withColumn(
+            "window_start", (F.col("ts") - F.pmod("ts", F.lit(window_seconds))).cast("long")
+        )
+        return bucketed.groupBy(*idc, "window_start").agg(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pts")
+        )
+
+    def _decode_tier_points(self, tier: str) -> DataFrame:
+        """Read a committed tier and decode its payloads back to points."""
+        from tsfresh_spark.functions.codec import (
+            decompress_timestamps_udf,
+            decompress_values_udf,
+        )
+
+        idc = list(self.id_cols)
+        stored = self.spark.read.parquet(self.tier_path(tier))
+        arrays = stored.select(
+            *idc,
+            decompress_timestamps_udf()(F.col("payload")).alias("ts_arr"),
+            decompress_values_udf()(F.col("payload")).alias("val_arr"),
+        )
+        return arrays.select(
+            *idc,
+            F.explode(F.arrays_zip("ts_arr", "val_arr")).alias("p"),
+        ).select(*idc, F.col("p.ts_arr").alias("ts"), F.col("p.val_arr").alias("value"))
+
+    # ------------------------------------------------------- tier computation
+
+    def _archive_tier(self, points: DataFrame) -> DataFrame:
+        """raw archival: per-day compressed chunks, no features."""
+        chunks = self._chunk_points(points, DAY)
+        return self._apply_chunks(chunks, with_features=False)
+
+    def _base_tier(self, points: DataFrame) -> DataFrame:
+        """gap-filled regular grid at base_step, stored per-day."""
+        from tsfresh_spark.operators.gapfill import fill_forward, fill_linear, regularize
+
+        idc = list(self.id_cols)
+        step = self.base_step_seconds
+        bucketed = points.withColumn(
+            "bucket", (F.col("ts") - F.pmod("ts", F.lit(step))).cast("long")
+        )
+        observed = bucketed.groupBy(*idc, "bucket").agg(
+            F.max_by("value", "ts").alias("value")
+        )
+        bounds = observed.groupBy(*idc).agg(
+            F.min("bucket").alias("_a"), F.max("bucket").alias("_b")
+        )
+        grid = bounds.select(
+            *idc,
+            F.explode(F.sequence("_a", "_b", F.lit(step))).alias("bucket"),
+        ).join(observed, [*idc, "bucket"], "left")
+        if self.gap_method == "ffill":
+            filled = fill_forward(
+                grid, id_cols=idc, order_col="bucket", value_col="value"
+            )
+        elif self.gap_method == "linear":
+            filled = fill_linear(
+                grid, id_cols=idc, order_col="bucket", value_col="value"
+            )
+        else:
+            raise ValueError(f"unsupported gap_method {self.gap_method!r}")
+        pts = filled.filter(F.col("value").isNotNull()).select(
+            *idc, F.col("bucket").alias("ts"), "value"
+        )
+        chunks = self._chunk_points(pts, DAY)
+        return self._apply_chunks(chunks, with_features=False)
+
+    def _feature_tier(self, points: DataFrame, window_seconds: int) -> DataFrame:
+        chunks = self._chunk_points(points, window_seconds)
+        return self._apply_chunks(chunks, with_features=True)
+
+    def _apply_chunks(self, chunks: DataFrame, *, with_features: bool) -> DataFrame:
+        idc = list(self.id_cols)
+        settings = self.settings
+        kind_col = self.id_cols[1]
+        id_field_types = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in chunks.schema.fields
+            if f.name in idc
+        )
+        schema = (
+            f"{id_field_types}, window_start long, n_points long, "
+            "features map<string,double>, payload binary"
+        )
+
+        def run_batch(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = []
+                for _, row in pdf.iterrows():
+                    pts = row["pts"]
+                    ts = np.array([p["ts"] for p in pts], dtype=np.int64)
+                    values = np.array([p["value"] for p in pts], dtype=np.float64)
+                    feats = (
+                        dict(
+                            compute_series_features(
+                                values, str(row[kind_col]), settings
+                            )
+                        )
+                        if with_features
+                        else None
+                    )
+                    rows.append(
+                        {
+                            **{c: row[c] for c in idc},
+                            "window_start": row["window_start"],
+                            "n_points": len(ts),
+                            "features": feats,
+                            "payload": encode_series(ts, values),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return chunks.mapInPandas(run_batch, schema=schema)
+
+    # -------------------------------------------------------------- pipeline
+
+    def run(self, raw_points: DataFrame, job_id: str) -> dict[str, str]:
+        """Run the cascade; returns {tier_name: path}.  ``raw_points`` must
+        have columns id_cols + (ts: long epoch seconds, value: double).
+
+        Resume: tiers already holding a COMMIT record for this job_id are
+        skipped; downstream tiers read their stored payloads.
+        """
+        committed = self.manifest.committed_tiers(job_id)
+        out: dict[str, str] = {}
+
+        def do_tier(name: str, compute, lineage: str):
+            if name in committed:
+                out[name] = self.tier_path(name)
+                return False
+            df = compute()
+            self._write(df, name)
+            self.manifest.record_tier(job_id, name, self.tier_path(name), lineage)
+            out[name] = self.tier_path(name)
+            return True
+
+        do_tier("raw", lambda: self._archive_tier(raw_points), "raw<-input")
+        do_tier("base", lambda: self._base_tier(raw_points), "base<-input(gapfill)")
+
+        prev = "base"
+        for spec in self.tiers:
+            src = prev
+
+            def compute(spec=spec, src=src):
+                pts = self._decode_tier_points(src)
+                return self._feature_tier(pts, spec.window_seconds)
+
+            do_tier(spec.name, compute, f"{spec.name}<-{src}(decode+window)")
+            # every feature tier reads the BASE grid points, which each
+            # feature tier's payload preserves exactly — so chaining through
+            # the previous feature tier is lossless
+            prev = spec.name
+        return out
