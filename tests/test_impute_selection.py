@@ -1,0 +1,113 @@
+"""Imputation semantics + FRESH selection on the seeded informative-vs-noise
+fixture (FIXTURES.md F8, modeled on the reference's
+test_feature_significance.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsfresh_spark.operators.impute import (
+    impute_long,
+    impute_wide,
+    impute_zero,
+)
+from tsfresh_spark.operators.selection import (
+    benjamini_hochberg,
+    calculate_relevance_table,
+    select_features,
+)
+
+NAN, INF = float("nan"), float("inf")
+
+
+def test_impute_wide(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "a": [1.0, 2.0, NAN, 4.0],
+            "b": [-INF, 5.0, INF, 7.0],
+            "c": [NAN, NAN, NAN, NAN],
+        }
+    )
+    out = impute_wide(spark.createDataFrame(pdf), ["a", "b", "c"]).toPandas()
+    out = out.sort_values("id")
+    assert out.a.tolist() == [1.0, 2.0, 2.0, 4.0]  # NaN → median
+    assert out.b.tolist() == [5.0, 5.0, 7.0, 7.0]  # ±inf → min/max
+    assert out.c.tolist() == [0.0, 0.0, 0.0, 0.0]  # all-non-finite → 0
+
+
+def test_impute_long_matches_wide(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 1, 2, 3],
+            "variable": ["a"] * 3 + ["b"] * 3,
+            "value": [1.0, NAN, 3.0, -INF, 2.0, INF],
+        }
+    )
+    out = impute_long(spark.createDataFrame(pdf)).toPandas()
+    a = out[out.variable == "a"].sort_values("id").value.tolist()
+    b = out[out.variable == "b"].sort_values("id").value.tolist()
+    assert a == [1.0, 2.0, 3.0]
+    assert b == [2.0, 2.0, 2.0]
+
+
+def test_impute_zero(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "a": [NAN, INF]})
+    out = impute_zero(spark.createDataFrame(pdf), ["a"]).toPandas()
+    assert out.a.tolist() == [0.0, 0.0]
+
+
+def test_benjamini_hochberg():
+    p = np.array([0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205])
+    mask = benjamini_hochberg(p, 0.05, dependent=False)
+    # thresholds k/m*q: only the first two p-values fall below their rank line
+    assert mask.tolist() == [True, True, False, False, False, False, False, False]
+    # step-up property: if the largest p passes its rank line, all reject
+    mask25 = benjamini_hochberg(p, 0.25, dependent=False)
+    assert mask25.all()
+    # BY is stricter (harmonic-sum correction)
+    mask_by = benjamini_hochberg(p, 0.25, dependent=True)
+    assert mask_by.sum() <= mask25.sum()
+
+
+@pytest.fixture(scope="module")
+def informative_matrix(spark):
+    """500 rows; 3 informative real features, 1 informative binary, plus
+    noise features of both kinds (seeded)."""
+    rng = np.random.RandomState(42)
+    n = 500
+    y = rng.binomial(1, 0.5, n)
+    pdf = pd.DataFrame({"id": np.arange(n)})
+    pdf["real_inf_1"] = y * 2.0 + rng.randn(n)
+    pdf["real_inf_2"] = -y * 1.5 + rng.randn(n)
+    pdf["real_inf_3"] = y * 1.0 + 0.5 * rng.randn(n)
+    pdf["bin_inf"] = (y ^ (rng.rand(n) < 0.05)).astype(float)
+    for i in range(6):
+        pdf[f"real_noise_{i}"] = rng.randn(n)
+    pdf["bin_noise"] = rng.binomial(1, 0.5, n).astype(float)
+    pdf["const"] = 1.0
+    return spark.createDataFrame(pdf), pd.Series(y, index=np.arange(n))
+
+
+def test_selection_finds_informative(spark, informative_matrix):
+    X, y = informative_matrix
+    selected, table = select_features(X, y, id_col="id")
+    keep = set(selected.columns) - {"id"}
+    assert {"real_inf_1", "real_inf_2", "real_inf_3", "bin_inf"} <= keep
+    assert not any(c.startswith("real_noise") for c in keep)
+    assert "bin_noise" not in keep
+    assert "const" not in keep
+    assert table.loc["const", "type"] == "constant"
+    assert not table.loc["const", "relevant"]
+
+
+def test_relevance_table_regression_task(spark, informative_matrix):
+    X, _ = informative_matrix
+    rng = np.random.RandomState(0)
+    n = 500
+    y_real = pd.Series(rng.randn(n), index=np.arange(n))
+    table = calculate_relevance_table(
+        X.select("id", "real_inf_1", "real_noise_0"), y_real, id_col="id"
+    )
+    # noise target → nothing relevant
+    assert not table.relevant.any()
