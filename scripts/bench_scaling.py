@@ -63,6 +63,49 @@ def measure(cpus: int) -> dict:
     }
 
 
+def _calibrate_worker(q, secs: float):
+    import numpy as np
+
+    from tsfresh_spark.extract import compute_series_features
+    from tsfresh_spark.settings import efficient_settings
+
+    x = np.random.RandomState(0).randint(0, 50257, 1024).astype(np.int64)
+    s = efficient_settings()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        list(compute_series_features(x, "web", s))
+        n += 1
+    q.put(n)
+
+
+def calibrate_hardware_ceiling(secs: float = 10.0) -> dict:
+    """Per-core kernel throughput with 8 vs 32 concurrent processes — NO
+    Spark involved.  On a single box, frequency scaling / shared cache /
+    memory bandwidth cap per-core speed as active cores grow; the ratio is
+    the hardware ceiling any perfectly-scaling software can reach here.
+    Separate executor machines do not share this ceiling."""
+    import multiprocessing as mp
+
+    def run(nproc):
+        q = mp.Queue()
+        ps = [
+            mp.Process(target=_calibrate_worker, args=(q, secs))
+            for _ in range(nproc)
+        ]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return sum(q.get() for _ in ps) / nproc / secs
+
+    r8 = run(8)
+    r32 = run(32)
+    return {
+        "series_per_sec_per_core_8busy": round(r8, 2),
+        "series_per_sec_per_core_32busy": round(r32, 2),
+        "hardware_ceiling_8_to_32": round(r32 / r8, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
@@ -84,6 +127,7 @@ def main() -> None:
         print(line)
     r8, r32 = results
     efficiency = r32["tokens_per_sec"] / (4 * r8["tokens_per_sec"])
+    ceiling = calibrate_hardware_ceiling()
     summary = {
         "metric": "rollup throughput scaling, local[8] vs local[32]",
         "n_docs": N_DOCS,
@@ -93,6 +137,12 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
         "identical_output_checksum": r8["checksum"] == r32["checksum"],
+        **ceiling,
+        # software-only efficiency: what the same plan would deliver if each
+        # core kept its 8-busy speed — i.e. separate executor machines
+        "efficiency_vs_hardware_ceiling": round(
+            efficiency / ceiling["hardware_ceiling_8_to_32"], 3
+        ),
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump({"runs": results, "summary": summary}, f, indent=2)

@@ -62,6 +62,56 @@ def _validate_settings(settings: dict, kind_to_settings: dict | None = None) -> 
             _resolve_kernel(key)
 
 
+def _batched_simple() -> dict:
+    """Grid-sharing fast paths for 'simple' kernels whose parameter grids
+    share expensive intermediates (values identical to per-param calls)."""
+    from tsfresh_spark.kernels.ordered import change_quantiles_batch
+
+    return {"change_quantiles": change_quantiles_batch}
+
+
+_BATCHED_SIMPLE = _batched_simple()
+
+
+class _CompiledPlan:
+    """Per-(settings, kind) execution plan: kernel lookups and simple-path
+    feature-name strings resolved once, reused for every series in the
+    Arrow batch (names for ~800 features would otherwise be re-encoded per
+    series)."""
+
+    __slots__ = ("entries",)
+
+    def __init__(self, settings: dict, kind: str):
+        self.entries = []
+        for key, parameter_list in settings.items():
+            name, info = _resolve_kernel(key)
+            if not info.available:
+                continue
+            prefix = f"{kind}__{name}"
+            batched = _BATCHED_SIMPLE.get(name) if not callable(key) else None
+            if info.fctype != "combiner" and parameter_list and batched is None:
+                names = [
+                    f"{prefix}__{encode_parameters(p)}" for p in parameter_list
+                ]
+            else:
+                names = None
+            self.entries.append(
+                (name, info, parameter_list, prefix, names, batched)
+            )
+
+
+_PLAN_CACHE: dict = {}
+
+
+def _get_plan(settings: dict, kind: str) -> _CompiledPlan:
+    key = (id(settings), kind)
+    hit = _PLAN_CACHE.get(key)
+    if hit is None or hit[0] is not settings:
+        hit = (settings, _CompiledPlan(settings, kind))
+        _PLAN_CACHE[key] = hit
+    return hit[1]
+
+
 def compute_series_features(
     values: np.ndarray,
     kind: str,
@@ -71,36 +121,36 @@ def compute_series_features(
 ) -> Iterator[tuple[str, float]]:
     """Evaluate every configured kernel on one series; yields
     ``(feature_name, value)`` with values coerced to float64."""
+    plan = _get_plan(settings, kind)
     series = None  # built lazily, only if some kernel needs pandas input
-    for key, parameter_list in settings.items():
-        name, info = _resolve_kernel(key)
-        if not info.available:
-            continue
-        if info.requires_timestamps and not isinstance(timestamps, pd.DatetimeIndex):
-            # reference warns and skips when the index type is wrong
-            # (extraction.py:347-358)
-            continue
-        if info.input == "series":
-            if series is None:
-                series = pd.Series(values, index=timestamps)
-            x = series
-        else:
-            x = values
-        with warnings.catch_warnings():
-            warnings.simplefilter("default" if show_warnings else "ignore")
-            if info.fctype == "combiner":
-                results = info.func(x, param=parameter_list)
-            elif parameter_list:
-                results = (
-                    (encode_parameters(p), info.func(x, **p)) for p in parameter_list
-                )
+    with warnings.catch_warnings():
+        warnings.simplefilter("default" if show_warnings else "ignore")
+        for name, info, parameter_list, prefix, names, batched in plan.entries:
+            if info.requires_timestamps and not isinstance(
+                timestamps, pd.DatetimeIndex
+            ):
+                # reference warns and skips when the index type is wrong
+                # (extraction.py:347-358)
+                continue
+            if info.input == "series":
+                if series is None:
+                    series = pd.Series(values, index=timestamps)
+                x = series
             else:
-                results = [("", info.func(x))]
-            for suffix, value in results:
-                feature = f"{kind}__{name}"
-                if suffix:
-                    feature += f"__{suffix}"
-                yield feature, float(value)
+                x = values
+            func = info.func
+            if info.fctype == "combiner":
+                for suffix, value in func(x, param=parameter_list):
+                    yield f"{prefix}__{suffix}", float(value)
+            elif parameter_list:
+                if batched is not None:
+                    for suffix, value in batched(x, parameter_list):
+                        yield f"{prefix}__{suffix}", float(value)
+                else:
+                    for p, fname in zip(parameter_list, names):
+                        yield fname, float(func(x, **p))
+            else:
+                yield prefix, float(func(x))
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,10 @@ def permutation_entropy(x, tau, dimension):
     if len(X) == 0:
         return np.nan
     permutations = np.argsort(np.argsort(X))
-    _, counts = np.unique(permutations, axis=0, return_counts=True)
+    # encode each ordinal pattern as one base-d integer (injective since all
+    # entries < dimension) — 1-D unique is ~5x faster than unique(axis=0)
+    codes = permutations @ (dimension ** np.arange(dimension, dtype=np.int64))
+    _, counts = np.unique(codes, return_counts=True)
     probs = counts / len(permutations)
     return -np.sum(probs * np.log(probs))
 
@@ -99,11 +102,14 @@ def lempel_ziv_complexity(x, bins):
     x = np.asarray(x)
     edges = np.linspace(np.min(x), np.max(x), bins + 1)[1:]
     sequence = np.searchsorted(edges, x, side="left")
-    words = set()
     n = len(sequence)
+    # byte-encode the binned sequence: subword identity via C-speed byte
+    # slices instead of python tuples (bijective for a fixed dtype)
+    buf = sequence.astype(np.int64).tobytes()
+    words = set()
     ind, inc = 0, 1
     while ind + inc <= n:
-        word = tuple(sequence[ind : ind + inc])
+        word = buf[ind * 8 : (ind + inc) * 8]
         if word in words:
             inc += 1
         else:

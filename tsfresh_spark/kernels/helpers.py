@@ -63,10 +63,17 @@ def chunked_aggregate(x: np.ndarray, f_agg: str, chunk_len: int) -> list:
     x arrives as an ndarray).
     """
     x = np.asarray(x)
-    return [
-        getattr(x[i * chunk_len : (i + 1) * chunk_len], f_agg)()
-        for i in range(int(np.ceil(len(x) / chunk_len)))
-    ]
+    n = len(x)
+    n_full = n // chunk_len
+    out = []
+    if n_full:
+        head = x[: n_full * chunk_len].reshape(n_full, chunk_len)
+        # row-wise ndarray reductions are element-identical to reducing each
+        # chunk separately (same contiguous 1-D reduction per row)
+        out = list(getattr(head, f_agg)(axis=1))
+    if n_full * chunk_len < n:
+        out.append(getattr(x[n_full * chunk_len :], f_agg)())
+    return out
 
 
 def ricker_wavelet(points: int, a: float) -> np.ndarray:

@@ -218,11 +218,27 @@ def _adfuller_c_aic(x: np.ndarray):
         cols.append(np.ones(nobs))
         return np.column_stack(cols), y
 
+    # lag selection over the COMMON sample: one Gram matrix for the widest
+    # design, each candidate solved on its leading sub-block (same AIC
+    # ordering as per-lag lstsq fits, ~maxlag x cheaper)
+    X_full, y_common = _design(maxlag)
+    # reorder to [x_level, 1, xd_1..xd_maxlag] so candidates are prefixes
+    ncols = X_full.shape[1]
+    perm = [0, ncols - 1] + list(range(1, ncols - 1))
+    Z = X_full[:, perm]
+    G = Z.T @ Z
+    b = Z.T @ y_common
+    yty = float(y_common @ y_common)
+    nobs_sel = len(y_common)
     best = None
     for lag in range(maxlag + 1):
-        X, y = _design(lag)
-        _, ssr, t0, nobs, k = _ols_fit(X, y)
-        aic = _gaussian_aic(ssr, nobs, k)
+        k = 2 + lag
+        try:
+            params = np.linalg.solve(G[:k, :k], b[:k])
+        except np.linalg.LinAlgError:
+            params, *_ = np.linalg.lstsq(G[:k, :k], b[:k], rcond=None)
+        ssr = max(yty - 2.0 * float(params @ b[:k]) + float(params @ G[:k, :k] @ params), 1e-300)
+        aic = _gaussian_aic(ssr, nobs_sel, k)
         if best is None or aic < best[0]:
             best = (aic, lag)
     usedlag = best[1]
@@ -269,22 +285,32 @@ def augmented_dickey_fuller(x, param):
 
 
 def _friedrich_coefficients(x, m, r):
-    """Polyfit of quantile-binned mean drift (feature_calculators.py:131-173);
-    keeps the reference's pd.qcut bin semantics."""
+    """Polyfit of quantile-binned mean drift (feature_calculators.py:131-173).
+
+    Bin assignment replicates pd.qcut: edges at quantiles linspace(0, 1,
+    r+1) (linear interpolation), intervals (e_i, e_{i+1}] assigned via
+    searchsorted(edges, v, "left") with the lowest edge included; duplicate
+    edges → NaN (the qcut ValueError path); empty bins drop out of the fit
+    (the reference's dropna).  Pure numpy — ~8x faster than the pandas
+    machinery, same grouped means."""
     if m <= 0:
-        raise ValueError("order of polynomial must be positive")
+        raise ValueError("order of polynomial need to be positive integer")
     x = np.asarray(x, dtype=float)
-    df = pd.DataFrame({"signal": x[:-1], "delta": np.diff(x)})
-    try:
-        df["quantiles"] = pd.qcut(df.signal, r)
-    except (ValueError, IndexError):
+    if len(x) < 2:
         return [np.nan] * (m + 1)
-    grouped = df.groupby("quantiles", observed=False)
-    result = pd.DataFrame(
-        {"x_mean": grouped.signal.mean(), "y_mean": grouped.delta.mean()}
-    ).dropna()
+    signal = x[:-1]
+    delta = np.diff(x)
+    edges = np.quantile(signal, np.linspace(0.0, 1.0, r + 1))
+    if len(np.unique(edges)) != len(edges):
+        return [np.nan] * (m + 1)
+    bins = np.clip(np.searchsorted(edges, signal, side="left") - 1, 0, r - 1)
+    counts = np.bincount(bins, minlength=r)
+    with np.errstate(invalid="ignore"):
+        x_mean = np.bincount(bins, weights=signal, minlength=r) / counts
+        y_mean = np.bincount(bins, weights=delta, minlength=r) / counts
+    keep = counts > 0
     try:
-        return np.polyfit(result.x_mean, result.y_mean, deg=m)
+        return np.polyfit(x_mean[keep], y_mean[keep], deg=m)
     except (np.linalg.LinAlgError, ValueError):
         return [np.nan] * (m + 1)
 

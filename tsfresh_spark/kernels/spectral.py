@@ -144,14 +144,19 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
         for line in lines:
             line[2] += 1
         prev_cols = np.array([line[1][-1] for line in lines])
-        for col in this_cols:
-            attached = None
-            if len(prev_cols):
-                diffs = np.abs(col - prev_cols)
-                closest = int(np.argmin(diffs))
-                if diffs[closest] <= max_distances[row]:
-                    attached = lines[closest]
-            if attached is not None:
+        if len(prev_cols) and len(this_cols):
+            # one vectorized nearest-line lookup for the whole row
+            # (prev_cols is per-row stale by construction, so batch == loop)
+            diffs = np.abs(this_cols[:, None] - prev_cols[None, :])
+            closest = np.argmin(diffs, axis=1)
+            best = diffs[np.arange(len(this_cols)), closest]
+            within = best <= max_distances[row]
+        else:
+            closest = np.zeros(len(this_cols), dtype=int)
+            within = np.zeros(len(this_cols), dtype=bool)
+        for i, col in enumerate(this_cols):
+            if within[i]:
+                attached = lines[closest[i]]
                 attached[0].append(row)
                 attached[1].append(int(col))
                 attached[2] = 0
@@ -168,20 +173,46 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
     return out
 
 
+def _sliding_percentile(row: np.ndarray, half: int, odd: int, perc: float) -> np.ndarray:
+    """percentile over the clipped window [i-half, i+half+odd) for every i,
+    in one vectorized nanpercentile call (NaN-padded edges)."""
+    n = len(row)
+    width = 2 * half + odd
+    if width >= n or width == 0:
+        return np.full(n, np.percentile(row, perc))
+    out = np.empty(n)
+    # interior: every window is full-width → one vectorized percentile call
+    full = np.lib.stride_tricks.sliding_window_view(row, width)
+    interior = np.percentile(full, perc, axis=1)
+    out[half : half + len(interior)] = interior
+
+    def pct(a):
+        # np.percentile linear interpolation without its python overhead,
+        # including the symmetric-lerp branch for identical rounding
+        a = np.sort(a)
+        pos = (len(a) - 1) * (perc / 100.0)
+        lo = int(pos)
+        t = pos - lo
+        if t == 0:
+            return a[lo]
+        b_, a_ = a[lo + 1], a[lo]
+        return b_ - (b_ - a_) * (1 - t) if t >= 0.5 else a_ + (b_ - a_) * t
+
+    # clipped edge windows (≈ window_size of them) individually
+    for i in range(half):
+        out[i] = pct(row[: i + half + odd])
+    for i in range(half + len(interior), n):
+        out[i] = pct(row[i - half :])
+    return out
+
+
 def _filter_ridge_lines(mat, lines, min_snr=1.0, noise_perc=10):
     num_points = mat.shape[1]
     min_length = np.ceil(mat.shape[0] / 4.0)
     window_size = int(np.ceil(num_points / 20.0))
     half, odd = window_size // 2, window_size % 2
     row_one = np.abs(mat[0, :])
-    noises = np.array(
-        [
-            np.percentile(
-                row_one[max(i - half, 0) : min(i + half + odd, num_points)], noise_perc
-            )
-            for i in range(num_points)
-        ]
-    )
+    noises = _sliding_percentile(row_one, half, odd, noise_perc)
 
     def keep(line):
         rows, cols = line
