@@ -30,7 +30,17 @@ _BASE_SQL = (
 )
 
 
+def _prep(spark: SparkSession) -> None:
+    import sys
+
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+    # timestamp bucketing must agree with the (timezone-naive) DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tsfresh_spark.sources.tables import events_long
 
     return events_long(spark, sf_dir)
@@ -434,6 +444,305 @@ SELECT qid, nid, sim FROM (
 
 
 # ---------------------------------------------------------------------------
+# q10: gap-fill — 1-minute grid regularize + forward-fill (window functions)
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.operators.gapfill import regularize_and_fill
+
+    ev = _events_long(spark, sf_dir)
+    filled = regularize_and_fill(
+        ev.select("user_id", "event_type", "ts", "v"),
+        id_cols=["user_id", "event_type"],
+        ts_col="ts",
+        value_col="v",
+        step="1 minute",
+        method="ffill",
+    )
+    return filled.select("user_id", "event_type", "bucket_ts", "v")
+
+
+_ORACLE_GAPFILL_FFILL = f"""
+WITH base AS ({_BASE_SQL}),
+obs AS (
+  SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS bucket_ts,
+         ARG_MAX(v, ts) AS v
+  FROM base GROUP BY user_id, event_type, DATE_TRUNC('minute', ts)
+),
+bounds AS (
+  SELECT user_id, event_type, MIN(bucket_ts) AS a, MAX(bucket_ts) AS b
+  FROM obs GROUP BY user_id, event_type
+),
+grid AS (
+  SELECT user_id, event_type,
+         UNNEST(GENERATE_SERIES(a, b, INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.event_type, g.bucket_ts, o.v
+  FROM grid g LEFT JOIN obs o USING (user_id, event_type, bucket_ts)
+),
+grp AS (
+  SELECT *, COUNT(v) OVER (PARTITION BY user_id, event_type ORDER BY bucket_ts
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM joined
+)
+SELECT user_id, event_type, bucket_ts,
+       MAX(v) OVER (PARTITION BY user_id, event_type, g) AS v
+FROM grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11: rolling sub-series generation (roll_time_series)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.operators.rolling import roll_time_series
+
+    ev = _events_long(spark, sf_dir).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        ),
+    )
+    rolled = roll_time_series(
+        ev.select("user_id", "event_type", "rn", "v"),
+        column_id="user_id",
+        column_kind="event_type",
+        column_sort="rn",
+        column_value="v",
+        max_timeshift=4,
+        min_timeshift=2,
+    )
+    return rolled.select(
+        F.col("id.orig").alias("user_id"),
+        F.col("id.shift").alias("window_end_rn"),
+        F.col("kind").alias("event_type"),
+        F.col("rn"),
+        F.col("v"),
+    )
+
+
+_ORACLE_ROLLING_WINDOWS = f"""
+WITH base AS ({_BASE_SQL}),
+numbered AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+)
+SELECT a.user_id, a.rn AS window_end_rn, a.event_type, b.rn, b.v
+FROM numbered a
+JOIN numbered b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+ AND b.rn BETWEEN a.rn - 4 AND a.rn
+WHERE LEAST(a.rn, 5) >= 3  -- min_timeshift=2 → windows of ≥3 points
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12: rollup tier — gap-filled base grid → 1h continuous aggregate
+# ---------------------------------------------------------------------------
+
+_ROLLUP_FEATURES = ["length", "sum_values", "minimum", "maximum", "mean"]
+
+
+def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.rollup import RollupEngine
+
+    ev = _events_long(spark, sf_dir)
+    points = ev.select(
+        "user_id",
+        "event_type",
+        # NTZ → TS (session tz pinned UTC) → epoch seconds
+        F.col("ts").cast("timestamp").cast("long").alias("ts"),
+        F.col("v").cast("double").alias("value"),
+    )
+    eng = RollupEngine(
+        spark,
+        "/tmp/tsfresh_spark_unused",
+        settings={name: None for name in _ROLLUP_FEATURES},
+        id_cols=("user_id", "event_type"),
+        base_step_seconds=60,
+    )
+    base = eng._base_tier(points)
+    tier = eng._feature_tier(eng.decode_points(base), 3600)
+    return tier.select(
+        "user_id",
+        "event_type",
+        "window_start",
+        F.col("n_points").cast("double").alias("n_points"),
+        F.explode("features").alias("variable", "value"),
+    )
+
+
+_ORACLE_ROLLUP_1H = f"""
+WITH base AS ({_BASE_SQL}),
+obs AS (
+  SELECT user_id, event_type,
+         CAST(EPOCH(DATE_TRUNC('minute', ts)) AS BIGINT) AS bucket,
+         ARG_MAX(v, ts) AS v
+  FROM base GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT user_id, event_type, MIN(bucket) AS a, MAX(bucket) AS b
+  FROM obs GROUP BY user_id, event_type
+),
+grid AS (
+  SELECT user_id, event_type, UNNEST(GENERATE_SERIES(a, b, 60)) AS bucket
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.event_type, g.bucket, o.v
+  FROM grid g LEFT JOIN obs o USING (user_id, event_type, bucket)
+),
+grp AS (
+  SELECT *, COUNT(v) OVER (PARTITION BY user_id, event_type ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS gid
+  FROM joined
+),
+filled AS (
+  SELECT user_id, event_type, bucket,
+         MAX(v) OVER (PARTITION BY user_id, event_type, gid) AS v
+  FROM grp
+),
+hourly AS (
+  SELECT user_id, event_type, bucket - bucket % 3600 AS window_start,
+         COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM filled WHERE v IS NOT NULL
+  GROUP BY user_id, event_type, bucket - bucket % 3600
+)
+SELECT user_id, event_type, window_start, CAST(n AS DOUBLE) AS n_points,
+       event_type || '__length' AS variable, CAST(n AS DOUBLE) AS value FROM hourly
+UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
+       event_type || '__sum_values', CAST(s AS DOUBLE) FROM hourly
+UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
+       event_type || '__minimum', CAST(mn AS DOUBLE) FROM hourly
+UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
+       event_type || '__maximum', CAST(mx AS DOUBLE) FROM hourly
+UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
+       event_type || '__mean', CAST(s AS DOUBLE) / n FROM hourly
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13-q15: language id, quality score, token count over documents
+# ---------------------------------------------------------------------------
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, text_col="text", id_col="doc_id")
+
+
+_ORACLE_LANGUAGE_ID = """
+WITH w AS (
+  SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LOWER(t)) AS words
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(LEN(LIST_FILTER(words, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS BIGINT) AS score_en,
+    CAST(LEN(LIST_FILTER(words, t -> t IN ('der','die','und','das','ist','nicht','ein','mit','auf','für'))) AS BIGINT) AS score_de,
+    CAST(LEN(LIST_FILTER(words, t -> t IN ('el','la','de','que','y','en','los','del','las','por'))) AS BIGINT) AS score_es,
+    CAST(LEN(LIST_FILTER(words, t -> t IN ('le','la','de','et','les','des','est','dans','que','pour'))) AS BIGINT) AS score_fr
+  FROM w
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN GREATEST(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr) THEN 'en'
+       WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr) THEN 'de'
+       WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs, text_col="text", id_col="doc_id")
+
+
+_ORACLE_QUALITY_SCORE = """
+WITH w AS (
+  SELECT doc_id, text, STRING_SPLIT(text, ' ') AS words FROM documents
+),
+m AS (
+  SELECT doc_id, text, words,
+    CAST(LEN(words) AS BIGINT) AS n_words,
+    CAST(LIST_AGGREGATE(LIST_TRANSFORM(words, t -> LENGTH(t)), 'sum') AS DOUBLE) / LEN(words) AS mean_word_len,
+    CAST(LEN(LIST_FILTER(words, t -> LOWER(t) IN
+      ('the','and','of','to','in','is','that','it','for','was','a','an','on','with','as','at','by'))) AS DOUBLE)
+      / LEN(words) AS stopword_ratio,
+    CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+    CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / LEN(words) AS distinct_word_ratio
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, stopword_ratio, alpha_ratio,
+       distinct_word_ratio,
+       (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN distinct_word_ratio >= 0.3 THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM m
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs, text_col="text", id_col="doc_id")
+
+
+_ORACLE_TOKEN_COUNT = """
+WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+SELECT doc_id,
+  CAST(LEN(words) AS BIGINT) AS n_whitespace_tokens,
+  CAST(LIST_AGGREGATE(LIST_TRANSFORM(words, t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_ish_tokens
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16-q17: near-dup detection (no SQL oracle — engine-hash-specific; the
+# driver records the weaker rows-only check, and pytest pins semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_duplicates(
+        docs, text_col="text", id_col="doc_id", max_hamming=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -464,6 +773,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "embedding_cosine_topk": q_embedding_topk,
+        "gapfill_ffill_1m": q_gapfill_ffill,
+        "rolling_windows": q_rolling_windows,
+        "rollup_tier_1h": q_rollup_1h,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
     }
 
 
@@ -478,4 +795,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "text_stats": _ORACLE_TEXT_STATS,
         "embedding_cosine_topk": _ORACLE_EMBEDDING_TOPK,
+        "gapfill_ffill_1m": _ORACLE_GAPFILL_FFILL,
+        "rolling_windows": _ORACLE_ROLLING_WINDOWS,
+        "rollup_tier_1h": _ORACLE_ROLLUP_1H,
+        "language_id": _ORACLE_LANGUAGE_ID,
+        "quality_score": _ORACLE_QUALITY_SCORE,
+        "token_count": _ORACLE_TOKEN_COUNT,
+        # minhash_near_dups / simhash_near_dups: engine-hash-specific —
+        # intentionally no SQL oracle (rows-only check); semantics pinned in
+        # tests/test_dedup.py
     }

@@ -23,7 +23,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "2000"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "20000"))
 
 
 def measure(cpus: int) -> dict:
@@ -38,32 +38,44 @@ def measure(cpus: int) -> dict:
         f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # 8 partitions per core: bounds the straggler tail of the last wave
-    toks = tokens_corpus(spark, N_DOCS, n_partitions=cpus * 8).cache()
+    # fixed partition count for BOTH parallelism levels: identical work
+    # units, only the executor-slot count varies (as on a real cluster)
+    toks = tokens_corpus(spark, N_DOCS, n_partitions=256).cache()
     total_tokens = toks.select(F.sum("n_tok")).collect()[0][0]
     # warm the cache AND the python UDF workers (fork + imports) so the
     # measurement is steady-state extraction throughput, not process spawn
     toks.count()
     warm = tokens_corpus(spark, cpus * 8, n_partitions=cpus * 8)
     extract_features_tokens(warm, {"mean": None}, output="map").count()
-    t0 = time.perf_counter()
-    out = extract_features_tokens(toks, efficient_settings(), output="map")
-    n_rows = out.select(
-        F.expr("bit_xor(xxhash64(doc_id, source, map_keys(features)))")
-    ).collect()[0][0]
-    dt = time.perf_counter() - t0
+    # best of REPEATS: the sandbox shares its host, single runs are noisy
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    best_dt, checksum = None, None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = extract_features_tokens(toks, efficient_settings(), output="map")
+        checksum = out.select(
+            F.expr("bit_xor(xxhash64(doc_id, source, map_keys(features)))")
+        ).collect()[0][0]
+        dt = time.perf_counter() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
     spark.stop()
     return {
         "cpus": cpus,
         "n_docs": N_DOCS,
         "total_tokens": int(total_tokens),
-        "seconds": round(dt, 2),
-        "tokens_per_sec": round(total_tokens / dt, 1),
-        "checksum": n_rows,
+        "seconds": round(best_dt, 2),
+        "tokens_per_sec": round(total_tokens / best_dt, 1),
+        "checksum": checksum,
     }
 
 
 def _calibrate_worker(q, secs: float):
+    # mirror Spark's python-worker environment: single-threaded BLAS
+    # (without this, each process spawns a full OpenBLAS pool and 32
+    # processes thrash each other — Spark sets this for its workers)
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["MKL_NUM_THREADS"] = "1"
     import numpy as np
 
     from tsfresh_spark.extract import compute_series_features

@@ -1,0 +1,122 @@
+"""Dedup + similarity operator semantics on constructed corpora with known
+duplicate structure."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tsfresh_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+)
+from tsfresh_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+def _sentence(rng, n):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+             "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi"]
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(5)
+    docs = []
+    base = _sentence(rng, 60)
+    docs.append((0, base))
+    docs.append((1, base))  # exact dup of 0
+    # near dup: change 3 words
+    words = base.split()
+    words[5], words[20], words[40] = "changed", "words", "here"
+    docs.append((2, " ".join(words)))
+    for i in range(3, 40):
+        docs.append((i, _sentence(rng, 60)))  # unrelated
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, corpus):
+    out = exact_duplicates(corpus).toPandas().set_index("doc_id")
+    assert out.loc[0, "dup_count"] == 2
+    assert out.loc[1, "dup_count"] == 2
+    assert out.loc[0, "is_duplicate"] == 0  # canonical keeps min id
+    assert out.loc[1, "is_duplicate"] == 1
+    assert out.loc[2, "dup_count"] == 1
+
+
+def test_minhash_finds_near_duplicates(spark, corpus):
+    pairs = minhash_near_duplicates(corpus, threshold=0.5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found  # exact dup survives any threshold
+    assert (0, 2) in found or (1, 2) in found  # 3-of-60-word edit
+    # unrelated docs never pair at 0.5 Jaccard on 3-shingles
+    unrelated = [p for p in found if p[0] >= 3 and p[1] >= 3]
+    assert unrelated == []
+
+
+def test_minhash_jaccard_bounds(spark, corpus):
+    sigs = minhash_signatures(corpus)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = jaccard_verify(corpus, pairs, threshold=0.0).toPandas()
+    assert (verified.jaccard <= 1.0).all() and (verified.jaccard >= 0.0).all()
+    exact = verified[(verified.id_a == 0) & (verified.id_b == 1)]
+    assert len(exact) == 1 and exact.jaccard.iloc[0] == 1.0
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    fp = simhash(corpus).toPandas().set_index("doc_id")
+    assert fp.loc[0, "simhash"] == fp.loc[1, "simhash"]  # identical text
+    pairs = simhash_near_duplicates(corpus, max_hamming=16).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found
+    hamming01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)].hamming.iloc[0]
+    assert hamming01 == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(9)
+    base = rng.randn(8, 16)
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(6):
+            v = base[c] + 0.05 * rng.randn(16)
+            rows.append((vid, (v / np.linalg.norm(v)).astype(float).tolist(), c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_bruteforce_topk_finds_cluster(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") % 6 == 0)  # one per cluster
+    out = cosine_topk_bruteforce(vectors, queries, k=3).toPandas()
+    labels = vectors.toPandas().set_index("vec_id").label
+    hits = 0
+    for _, r in out.iterrows():
+        if labels[r.qid] == labels[r.nid]:
+            hits += 1
+    assert hits / len(out) >= 0.95  # tight clusters → same-label neighbors
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk_bruteforce(vectors, queries, k=3).toPandas()
+    approx = cosine_topk_lsh(
+        vectors, queries, k=3, dim=16, num_planes=4
+    ).toPandas()
+    exact_pairs = {(r.qid, r.nid) for _, r in exact.iterrows()}
+    approx_pairs = {(r.qid, r.nid) for _, r in approx.iterrows()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # few planes → big buckets → decent recall
+    # every approx hit is scored identically to the exact scorer
+    merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
+    assert (merged.sim_a == merged.sim_e).all()

@@ -202,16 +202,16 @@ def simhash(
     Expressed as an aggregate over the word array per row (no shuffle).
     """
     words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
-    hashes = F.transform(words, F.xxhash64)
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
     bits = [
         F.when(
             F.aggregate(
                 hashes,
                 F.lit(0).cast("long"),
                 lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(
-                    -1
-                ),
+                + F.when(
+                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1),
             )
             > 0,
             F.lit(1).cast("long"),

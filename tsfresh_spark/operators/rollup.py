@@ -99,13 +99,16 @@ class RollupEngine:
 
     def _decode_tier_points(self, tier: str) -> DataFrame:
         """Read a committed tier and decode its payloads back to points."""
+        return self.decode_points(self.spark.read.parquet(self.tier_path(tier)))
+
+    def decode_points(self, stored: DataFrame) -> DataFrame:
+        """Decode a tier frame's payload column back to (id..., ts, value)."""
         from tsfresh_spark.functions.codec import (
             decompress_timestamps_udf,
             decompress_values_udf,
         )
 
         idc = list(self.id_cols)
-        stored = self.spark.read.parquet(self.tier_path(tier))
         arrays = stored.select(
             *idc,
             decompress_timestamps_udf()(F.col("payload")).alias("ts_arr"),

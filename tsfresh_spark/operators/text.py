@@ -148,6 +148,6 @@ def fingerprint(
     return df.select(
         F.col(id_col),
         F.coalesce(
-            F.array_min(F.transform(grams, F.xxhash64)), F.xxhash64(F.col(text_col))
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g))), F.xxhash64(F.col(text_col))
         ).alias("fingerprint"),
     )

@@ -33,6 +33,7 @@ def build_session(
         # Arrow transfer for every pandas UDF / mapInPandas boundary
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
