@@ -457,7 +457,7 @@ def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=["user_id", "event_type"],
         ts_col="ts",
         value_col="v",
-        step="1 minute",
+        step="1 hour",
         method="ffill",
     )
     return filled.select("user_id", "event_type", "bucket_ts", "v")
@@ -466,9 +466,9 @@ def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_GAPFILL_FFILL = f"""
 WITH base AS ({_BASE_SQL}),
 obs AS (
-  SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS bucket_ts,
+  SELECT user_id, event_type, DATE_TRUNC('hour', ts) AS bucket_ts,
          ARG_MAX(v, ts) AS v
-  FROM base GROUP BY user_id, event_type, DATE_TRUNC('minute', ts)
+  FROM base GROUP BY user_id, event_type, DATE_TRUNC('hour', ts)
 ),
 bounds AS (
   SELECT user_id, event_type, MIN(bucket_ts) AS a, MAX(bucket_ts) AS b
@@ -476,7 +476,7 @@ bounds AS (
 ),
 grid AS (
   SELECT user_id, event_type,
-         UNNEST(GENERATE_SERIES(a, b, INTERVAL 1 MINUTE)) AS bucket_ts
+         UNNEST(GENERATE_SERIES(a, b, INTERVAL 1 HOUR)) AS bucket_ts
   FROM bounds
 ),
 joined AS (
@@ -567,10 +567,10 @@ def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/tsfresh_spark_unused",
         settings={name: None for name in _ROLLUP_FEATURES},
         id_cols=("user_id", "event_type"),
-        base_step_seconds=60,
+        base_step_seconds=3600,
     )
     base = eng._base_tier(points)
-    tier = eng._feature_tier(eng.decode_points(base), 3600)
+    tier = eng._feature_tier(eng.decode_points(base), 86400)
     return tier.select(
         "user_id",
         "event_type",
@@ -584,7 +584,7 @@ _ORACLE_ROLLUP_1H = f"""
 WITH base AS ({_BASE_SQL}),
 obs AS (
   SELECT user_id, event_type,
-         CAST(EPOCH(DATE_TRUNC('minute', ts)) AS BIGINT) AS bucket,
+         CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS bucket,
          ARG_MAX(v, ts) AS v
   FROM base GROUP BY 1, 2, 3
 ),
@@ -593,7 +593,7 @@ bounds AS (
   FROM obs GROUP BY user_id, event_type
 ),
 grid AS (
-  SELECT user_id, event_type, UNNEST(GENERATE_SERIES(a, b, 60)) AS bucket
+  SELECT user_id, event_type, UNNEST(GENERATE_SERIES(a, b, 3600)) AS bucket
   FROM bounds
 ),
 joined AS (
@@ -611,10 +611,10 @@ filled AS (
   FROM grp
 ),
 hourly AS (
-  SELECT user_id, event_type, bucket - bucket % 3600 AS window_start,
+  SELECT user_id, event_type, bucket - bucket % 86400 AS window_start,
          COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
   FROM filled WHERE v IS NOT NULL
-  GROUP BY user_id, event_type, bucket - bucket % 3600
+  GROUP BY user_id, event_type, bucket - bucket % 86400
 )
 SELECT user_id, event_type, window_start, CAST(n AS DOUBLE) AS n_points,
        event_type || '__length' AS variable, CAST(n AS DOUBLE) AS value FROM hourly

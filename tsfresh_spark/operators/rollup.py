@@ -184,23 +184,25 @@ class RollupEngine:
                 if not len(pdf):
                     continue
                 rows = []
-                for _, row in pdf.iterrows():
-                    pts = row["pts"]
+                id_arrays = [pdf[c].values for c in idc]
+                kinds = pdf[kind_col].values
+                for pts, window_start, kind, *ids in zip(
+                    pdf["pts"].values,
+                    pdf["window_start"].values,
+                    kinds,
+                    *id_arrays,
+                ):
                     ts = np.array([p["ts"] for p in pts], dtype=np.int64)
                     values = np.array([p["value"] for p in pts], dtype=np.float64)
                     feats = (
-                        dict(
-                            compute_series_features(
-                                values, str(row[kind_col]), settings
-                            )
-                        )
+                        dict(compute_series_features(values, str(kind), settings))
                         if with_features
                         else None
                     )
                     rows.append(
                         {
-                            **{c: row[c] for c in idc},
-                            "window_start": row["window_start"],
+                            **dict(zip(idc, ids)),
+                            "window_start": window_start,
                             "n_points": len(ts),
                             "features": feats,
                             "payload": encode_series(ts, values),

@@ -108,6 +108,52 @@ def random_walks(
     )
 
 
+def velocity_series(
+    spark: SparkSession,
+    num_ids: int,
+    length: int,
+    *,
+    tau: float = 3.8,
+    kappa_3: float = 0.3,
+    delta_t: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Dissipative-soliton velocity sampler — the deterministic Spark analog
+    of the reference's drift-bifurcation simulator
+    (/root/reference/tsfresh/examples/driftbif_simulation.py:15-200): Euler
+    integration of dv = (tau - 3.8)·kappa_3·v − kappa_3·|v|²·v + noise.
+
+    The recursion is sequential per series, so it runs inside one
+    arrow-batched pandas iterator per partition (one series per row,
+    executor-side, seeded per id) — generation stays distributed.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for sid in pdf["id"]:
+                rng = np.random.RandomState(seed + int(sid))
+                v = np.empty(length)
+                v[0] = 0.01
+                q = kappa_3**2 * delta_t
+                a = (tau - 3.8) * kappa_3
+                for t in range(1, length):
+                    prev = v[t - 1]
+                    drift = a * prev - kappa_3 * (prev**2) * prev
+                    v[t] = prev + delta_t * drift + np.sqrt(q) * rng.randn()
+                rows.append((int(sid), v.tolist()))
+            yield pd.DataFrame(rows, columns=["id", "velocity"])
+
+    base = spark.range(num_ids)
+    wide = base.mapInPandas(gen, "id long, velocity array<double>")
+    return wide.select(
+        "id",
+        F.lit("velocity").alias("kind"),
+        F.posexplode("velocity").alias("time", "value"),
+    )
+
+
 def robot_failures_clone(spark: SparkSession) -> DataFrame:
     """Deterministic clone of the robot-execution-failures shape
     (FIXTURES.md F4): 88 ids × 15 steps × 6 force/torque kinds, integer
@@ -118,7 +164,9 @@ def robot_failures_clone(spark: SparkSession) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(14))).alias("time"),
     )
     cols = [
-        ((F.xxhash64("id", "time", F.lit(k)) % 41) - 20).cast("long").alias(name)
+        (F.pmod(F.xxhash64("id", "time", F.lit(k)), F.lit(41)) - 20)
+        .cast("long")
+        .alias(name)
         for k, name in enumerate(["F_x", "F_y", "F_z", "T_x", "T_y", "T_z"])
     ]
     return grid.select("id", "time", *cols)
