@@ -25,32 +25,52 @@ import pandas as pd
 
 
 class _BitWriter:
-    __slots__ = ("acc", "nbits")
+    """Streaming MSB-first bit packer: the accumulator never exceeds
+    ~72 bits, so writes are O(1) (a whole-payload big-int would make the
+    stream O(n²))."""
+
+    __slots__ = ("out", "acc", "nacc")
 
     def __init__(self):
+        self.out = bytearray()
         self.acc = 0
-        self.nbits = 0
+        self.nacc = 0
 
     def write(self, value: int, nbits: int) -> None:
         self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
 
     def to_bytes(self) -> bytes:
-        pad = (-self.nbits) % 8
-        acc = self.acc << pad
-        return (acc).to_bytes((self.nbits + pad) // 8, "big")
+        if self.nacc:
+            pad = 8 - self.nacc
+            return bytes(self.out) + bytes([(self.acc << pad) & 0xFF])
+        return bytes(self.out)
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Streaming MSB-first bit reader (mirror of _BitWriter)."""
+
+    __slots__ = ("data", "byte_pos", "acc", "nacc")
 
     def __init__(self, data: bytes):
-        self.data = int.from_bytes(data, "big")
-        self.pos = len(data) * 8
+        self.data = data
+        self.byte_pos = 0
+        self.acc = 0
+        self.nacc = 0
 
     def read(self, nbits: int) -> int:
-        self.pos -= nbits
-        return (self.data >> self.pos) & ((1 << nbits) - 1)
+        while self.nacc < nbits:
+            self.acc = (self.acc << 8) | self.data[self.byte_pos]
+            self.byte_pos += 1
+            self.nacc += 8
+        self.nacc -= nbits
+        value = (self.acc >> self.nacc) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nacc) - 1
+        return value
 
 
 def _zigzag(v: int) -> int:
@@ -77,9 +97,8 @@ def encode_dod(ts: np.ndarray) -> bytes:
         return w.to_bytes()
     deltas = np.diff(ts)
     w.write(_zigzag(int(deltas[0])), 64)
-    dods = np.diff(deltas)
+    dods = np.diff(deltas).tolist()  # python ints: cheap loop arithmetic
     for dod in dods:
-        dod = int(dod)
         if dod == 0:
             w.write(0, 1)
         elif -63 <= dod <= 64:
@@ -147,11 +166,11 @@ def encode_gorilla(values: np.ndarray) -> bytes:
     if n == 0:
         return w.to_bytes()
     w.write(int(bits[0]), 64)
-    prev = int(bits[0])
+    # per-element xors precomputed vectorized, then python ints (tolist)
+    xors = (bits[1:] ^ bits[:-1]).tolist()
     prev_lead, prev_len = 65, 0  # no previous window
-    for i in range(1, n):
-        cur = int(bits[i])
-        xor = prev ^ cur
+    for i in range(n - 1):
+        xor = xors[i]
         if xor == 0:
             w.write(0, 1)
         else:
@@ -174,7 +193,6 @@ def encode_gorilla(values: np.ndarray) -> bytes:
                 w.write(length - 1, 6)  # length ∈ [1, 64]
                 w.write(xor >> trail, length)
                 prev_lead, prev_len = lead, length
-        prev = cur
     return w.to_bytes()
 
 

@@ -127,3 +127,16 @@ def fourier_entropy(x, bins):
     if pxx.size == 0:
         return np.nan
     return binned_entropy(pxx / np.max(pxx), bins)
+
+
+def fourier_entropy_batch(x, param_list):
+    """Grid-batched fourier_entropy: one Welch PSD shared across the bins
+    grid (value-identical to per-parameter calls)."""
+    pxx = welch_psd(np.asarray(x, dtype=float))
+    if pxx.size == 0:
+        return [(f"bins_{p['bins']}", np.nan) for p in param_list]
+    normalized = pxx / np.max(pxx)
+    return [
+        (f"bins_{p['bins']}", binned_entropy(normalized, p["bins"]))
+        for p in param_list
+    ]

@@ -290,6 +290,57 @@ def ratio_value_number_to_time_series_length(x):
     return np.unique(x).size / x.size
 
 
+# ------------------------------------------------- grid-batched fast paths
+# (value-identical to the per-parameter scalar kernels; picked up by the
+# extraction engine's _BATCHED_SIMPLE table)
+
+
+def quantile_batch(x, param_list):
+    qs = [p["q"] for p in param_list]
+    if len(x) == 0:
+        vals = [np.nan] * len(qs)
+    else:
+        vals = np.quantile(x, qs)
+    return [(f"q_{q}", v) for q, v in zip(qs, vals)]
+
+
+def ratio_beyond_r_sigma_batch(x, param_list):
+    x = np.asarray(x)
+    dev = np.abs(x - np.mean(x))
+    sigma = np.std(x)
+    return [
+        (f"r_{p['r']}", np.sum(dev > p["r"] * sigma) / x.size) for p in param_list
+    ]
+
+
+def large_standard_deviation_batch(x, param_list):
+    x = np.asarray(x)
+    std = np.std(x)
+    rng = np.max(x) - np.min(x)
+    return [(f"r_{p['r']}", std > p["r"] * rng) for p in param_list]
+
+
+def autocorrelation_batch(x, param_list):
+    x = np.asarray(x)
+    n = len(x)
+    x_mean = np.mean(x)
+    v = np.var(x)
+    centered = x - x_mean
+    out = []
+    for p in param_list:
+        lag = p["lag"]
+        name = f"lag_{lag}"
+        if n < lag:
+            out.append((name, np.nan))
+            continue
+        if np.isclose(v, 0):
+            out.append((name, np.nan))
+            continue
+        sum_product = np.sum(centered[: n - lag] * centered[lag:])
+        out.append((name, sum_product / ((n - lag) * v)))
+    return out
+
+
 @kernel("benford_correlation", "simple")
 def benford_correlation(x):
     """Correlation of the first-significant-digit distribution with the
