@@ -181,6 +181,7 @@ def extract_features_tokens(
     kind_col: str = "source",
     kind_to_settings: dict | None = None,
     output: str = "long",
+    engine: str = "kernels",
 ) -> DataFrame:
     """Extract features from pre-grouped token-array rows via ``mapInPandas``.
 
@@ -189,10 +190,30 @@ def extract_features_tokens(
     id, kind, variable, value) or ``"map"`` (one row per series with a
     ``map<string,double>`` of features, avoiding a 794-column wide plan; cf.
     the reference's own advice in docs/text/large_data.rst:33-38).
+
+    ``engine="hybrid"`` evaluates the SQL-coverable calculator subset as
+    Catalyst expressions (zero Python) and routes only the remainder through
+    the Arrow UDF — bit-identical to the kernel path on integer tokens,
+    ≤1e-12 relative otherwise; still shuffle-free.  **Measured caveat**
+    (BASELINE.md): Spark's higher-order array functions evaluate
+    per-element without cross-feature subexpression sharing, so on 1k-token
+    arrays the Arrow-batched numpy kernels are faster (minimal set: 3.9M
+    vs 2.9M tokens/s; sort-heavy features far worse).  Keep the default
+    ``kernels`` engine unless the cluster cannot run python workers.
     """
     if output not in ("long", "map"):
         raise ValueError("output must be 'long' or 'map'")
+    if engine not in ("kernels", "hybrid"):
+        raise ValueError("engine must be 'kernels' or 'hybrid'")
     _validate_settings(settings, kind_to_settings)
+    if engine == "hybrid":
+        if kind_to_settings:
+            raise ValueError("hybrid engine does not support kind_to_settings")
+        if output != "long":
+            raise ValueError("hybrid engine produces long output")
+        return _extract_tokens_hybrid(
+            df, settings, id_col=id_col, tokens_col=tokens_col, kind_col=kind_col
+        )
 
     id_field = df.schema[id_col]
     id_type = id_field.dataType.simpleString()
@@ -244,6 +265,57 @@ def extract_features_tokens(
     else:
         schema = f"{id_col} {id_type}, {kind_col} string, features map<string,double>"
     return df.select(id_col, tokens_col, kind_col).mapInPandas(run, schema=schema)
+
+
+def _extract_tokens_hybrid(
+    df: DataFrame,
+    settings: dict,
+    *,
+    id_col: str,
+    tokens_col: str,
+    kind_col: str,
+) -> DataFrame:
+    """Catalyst expressions for the coverable subset + kernel UDF for the
+    rest, unioned in the long form.  Both branches are narrow maps."""
+    from tsfresh_spark.functions.sql_features import hybrid_plan
+
+    covered, rest = hybrid_plan(tokens_col, settings)
+    parts = []
+    if covered:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.concat(F.col(kind_col), F.lit(f"__{suffix}")).alias("variable"),
+                    expr.cast("double").alias("value"),
+                )
+                for suffix, expr in covered
+            ]
+        )
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.col(kind_col),
+                F.explode(entries).alias("_e"),
+            ).select(
+                id_col, kind_col, F.col("_e.variable"), F.col("_e.value")
+            )
+        )
+    if rest:
+        parts.append(
+            extract_features_tokens(
+                df,
+                rest,
+                id_col=id_col,
+                tokens_col=tokens_col,
+                kind_col=kind_col,
+                output="long",
+                engine="kernels",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
