@@ -1,0 +1,111 @@
+"""Hardening tests for the numpy re-derivations of the scientific-stack
+primitives (helpers.py): internal consistency, known analytic values, and
+the FFT/direct path equivalence the reference relies on."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tsfresh_spark.kernels.helpers import (
+    acf_adjusted,
+    betainc_reg,
+    cwt_ricker,
+    levinson_durbin_pacf,
+    linregress_np,
+    normal_sf,
+    ricker_wavelet,
+    student_t_sf,
+    welch_psd,
+)
+
+
+def test_acf_fft_equals_direct():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2000).cumsum()
+    direct = acf_adjusted(x, nlags=40, use_fft=False)
+    fft = acf_adjusted(x, nlags=40, use_fft=True)
+    assert np.allclose(direct, fft, atol=1e-9)
+    assert direct[0] == pytest.approx(1.0)
+
+
+def test_acf_known_values():
+    # perfectly alternating series: acf(1) == -1 - 1/(n-1) scaled by the
+    # adjusted denominator; sanity: negative at lag 1, positive at lag 2
+    x = np.array([1.0, -1.0] * 50)
+    a = acf_adjusted(x, nlags=4, use_fft=False)
+    assert a[1] < -0.9
+    assert a[2] > 0.9
+
+
+def test_levinson_durbin_ar2():
+    rng = np.random.RandomState(11)
+    x = np.zeros(3000)
+    for i in range(2, 3000):
+        x[i] = 0.5 * x[i - 1] - 0.3 * x[i - 2] + rng.randn()
+    p = levinson_durbin_pacf(x, 5)
+    assert p[0] == 1.0
+    assert p[2] == pytest.approx(-0.3, abs=0.06)  # pacf(2) ≈ phi2
+    assert abs(p[4]) < 0.08  # beyond the AR order → ~0
+
+
+def test_betainc_identities():
+    for a, b, x in [(2.0, 3.0, 0.4), (0.5, 0.5, 0.3), (5.0, 1.0, 0.9)]:
+        assert betainc_reg(a, b, x) + betainc_reg(b, a, 1 - x) == pytest.approx(
+            1.0, abs=1e-12
+        )
+    # I_x(1,1) = x (uniform)
+    assert betainc_reg(1.0, 1.0, 0.25) == pytest.approx(0.25, abs=1e-12)
+
+
+def test_student_t_sf():
+    assert student_t_sf(0.0, 10) == pytest.approx(0.5)
+    # known: t=2.228, df=10 → two-sided 0.05
+    assert 2 * student_t_sf(2.228, 10) == pytest.approx(0.05, abs=2e-4)
+    assert student_t_sf(-2.228, 10) == pytest.approx(1 - 0.025, abs=1e-4)
+
+
+def test_normal_sf():
+    assert normal_sf(0.0) == pytest.approx(0.5)
+    assert normal_sf(1.959963985) == pytest.approx(0.025, abs=1e-9)
+
+
+def test_linregress_textbook():
+    # y = 2x + 1 with one outlier-free noise-free fit
+    fit = linregress_np([0, 1, 2, 3], [1.0, 3.0, 5.0, 7.0])
+    assert fit.slope == pytest.approx(2.0)
+    assert fit.intercept == pytest.approx(1.0)
+    assert fit.rvalue == pytest.approx(1.0)
+    assert fit.stderr == pytest.approx(0.0)
+    # n=2 convention (scipy): pvalue 1, stderr 0
+    fit2 = linregress_np([0, 1], [3.0, 9.0])
+    assert fit2.pvalue == 1.0 and fit2.stderr == 0.0
+    # constant x → NaNs
+    fit3 = linregress_np([1, 1, 1], [1.0, 2.0, 3.0])
+    assert math.isnan(fit3.slope)
+
+
+def test_welch_peak_frequency():
+    # 1/8-cycle sine sampled at fs=1 → PSD peak at bin f=1/8 of nperseg
+    n = 1024
+    x = np.sin(2 * np.pi * np.arange(n) / 8)
+    pxx = welch_psd(x)  # nperseg=256 → peak at bin 256/8 = 32
+    assert np.argmax(pxx) == 32
+    # Parseval-ish: total power ≈ signal variance (density × df)
+    power = np.sum(pxx) / 256
+    assert power == pytest.approx(np.var(x), rel=0.05)
+
+
+def test_welch_short_series():
+    pxx = welch_psd(np.array([1.0, 2.0, 1.0]))
+    assert len(pxx) == 2  # nperseg=3 → 2 one-sided bins
+    assert np.isfinite(pxx).all()
+
+
+def test_ricker_shapes():
+    w = ricker_wavelet(21, 4.0)
+    assert w[10] == max(w)  # peak at center
+    assert w[0] < 0 or abs(w[0]) < w[10]  # decays/undershoots at edges
+    mat = cwt_ricker(np.sin(np.arange(100) / 5.0), [1, 2, 5])
+    assert mat.shape == (3, 100)
+    assert np.isfinite(mat).all()
