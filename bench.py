@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 
 
 def materialize(df) -> int:
+    from pyspark.sql.types import MapType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, MapType):
+            cols.append(f"map_entries(`{f.name}`)")  # maps are not hashable
+        else:
+            cols.append(f"`{f.name}`")
     sink = df.select(
-        F.expr(
-            "bit_xor(xxhash64("
-            + ", ".join(f"`{c}`" for c in df.columns)
-            + ")) as checksum"
-        )
+        F.expr("bit_xor(xxhash64(" + ", ".join(cols) + ")) as checksum")
     )
     row = sink.collect()[0]
     return row["checksum"] or 0
@@ -56,10 +60,9 @@ def main() -> None:
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # the flagship rollup workload: full efficient kernel family over the
-    # derived tokens table — reported as tokens/sec (the north-star metric)
+    # events-derived tokens (short series — per-series overhead regime)
     toks = em._events_tokens_longid(spark, sf_dir).cache()
-    total_tokens = toks.select(F.sum(F.size("tokens"))).collect()[0][0]
+    ev_tokens = toks.select(F.sum(F.size("tokens"))).collect()[0][0]
     t0 = time.perf_counter()
     materialize(
         extract_features_tokens(
@@ -68,6 +71,20 @@ def main() -> None:
     )
     dt = time.perf_counter() - t0
     timings["extract_efficient_kernels"] = round(dt, 3)
+    events_tokens_per_sec = round(ev_tokens / dt, 1)
+
+    # the flagship rollup workload: the north-star corpus shape
+    # (doc_id, tokens[16..2048], n_tok, source), efficient kernel family —
+    # tokens/sec here is the headline metric
+    from tsfresh_spark.sources.synthetic import tokens_corpus
+
+    n_docs = int(2000 * max(sf / 0.01, 1.0)) if sf > 0 else 2000
+    corpus = tokens_corpus(spark, n_docs, n_partitions=cpus * 8).cache()
+    total_tokens = corpus.select(F.sum("n_tok")).collect()[0][0]
+    t0 = time.perf_counter()
+    materialize(extract_features_tokens(corpus, efficient_settings(), output="map"))
+    dt = time.perf_counter() - t0
+    timings["extract_corpus_efficient"] = round(dt, 3)
     tokens_per_sec = round(total_tokens / dt, 1)
 
     total = round(sum(timings.values()), 3)
@@ -81,6 +98,7 @@ def main() -> None:
                 "sf": sf,
                 "tokens_per_sec": tokens_per_sec,
                 "total_tokens": int(total_tokens),
+                "events_tokens_per_sec": events_tokens_per_sec,
                 "cpus": cpus,
             }
         )
