@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import SparkSession
 
 from tsfresh_spark.extract import (
@@ -148,6 +147,4 @@ def extract_relevant_features(
         impute_function=impute_long,
         pivot=True,
     )
-    if isinstance(X, pd.DataFrame):
-        return select_features(X, y, fdr_level=fdr_level)
     return select_features(X, y, fdr_level=fdr_level)

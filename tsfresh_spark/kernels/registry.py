@@ -16,7 +16,7 @@ Every feature calculator registers itself here with its metadata:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 

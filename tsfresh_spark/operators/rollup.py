@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsfresh_spark.extract import compute_series_features
-from tsfresh_spark.functions.codec import decode_series, encode_series
+from tsfresh_spark.functions.codec import encode_series
 from tsfresh_spark.plans.manifest import Manifest
 
 DAY = 86400
