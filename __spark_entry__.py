@@ -717,7 +717,114 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
-# q16-q17: near-dup detection (no SQL oracle — engine-hash-specific; the
+# q18: number_peaks — kernel path vs windowed-SQL replica (exact ints)
+# ---------------------------------------------------------------------------
+
+_PEAK_NS = [1, 3, 5]
+
+
+def q_number_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    long_df = extract_features_tokens(
+        toks,
+        {"number_peaks": [{"n": n} for n in _PEAK_NS]},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return (
+        long_df.withColumn("variable", F.regexp_extract("variable", r"n_(\d+)$", 1))
+        .groupBy("user_id", "event_type")
+        .pivot("variable", [str(n) for n in _PEAK_NS])
+        .agg(F.first("value"))
+        .withColumnsRenamed({str(n): f"peaks_n{n}" for n in _PEAK_NS})
+    )
+
+
+_ORACLE_NUMBER_PEAKS = f"""
+WITH base AS ({_BASE_SQL}),
+w AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER po AS rn, COUNT(*) OVER p AS cnt,
+         {", ".join(
+             f"MAX(v) OVER (po ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING) AS mb{n}, "
+             f"MAX(v) OVER (po ROWS BETWEEN 1 FOLLOWING AND {n} FOLLOWING) AS ma{n}"
+             for n in _PEAK_NS
+         )}
+  FROM base
+  WINDOW po AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         p AS (PARTITION BY user_id, event_type)
+)
+SELECT user_id, event_type,
+  {", ".join(
+      f"CAST(SUM(CASE WHEN rn > {n} AND rn <= cnt - {n} AND v > mb{n} AND v > ma{n} "
+      f"THEN 1 ELSE 0 END) AS DOUBLE) AS peaks_n{n}"
+      for n in _PEAK_NS
+  )}
+FROM w GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19: reoccurring-value statistics — kernel path vs value-counts SQL
+# ---------------------------------------------------------------------------
+
+_REOCCURRING = [
+    "percentage_of_reoccurring_values_to_all_values",
+    "percentage_of_reoccurring_datapoints_to_all_datapoints",
+    "sum_of_reoccurring_values",
+    "sum_of_reoccurring_data_points",
+]
+
+
+def q_reoccurring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    long_df = extract_features_tokens(
+        toks,
+        {name: None for name in _REOCCURRING},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return (
+        long_df.withColumn("variable", F.split("variable", "__").getItem(1))
+        .groupBy("user_id", "event_type")
+        .pivot("variable", _REOCCURRING)
+        .agg(F.first("value"))
+    )
+
+
+_ORACLE_REOCCURRING = f"""
+WITH base AS ({_BASE_SQL}),
+vc AS (
+  SELECT user_id, event_type, v, COUNT(*) AS c
+  FROM base GROUP BY user_id, event_type, v
+),
+g AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n_distinct,
+         SUM(c) AS n_points,
+         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_reoccurring_values,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_reoccurring_points,
+         SUM(CASE WHEN c > 1 THEN v ELSE 0 END) AS sum_reoccurring_values,
+         SUM(CASE WHEN c > 1 THEN v * c ELSE 0 END) AS sum_reoccurring_points
+  FROM vc GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+  CAST(n_reoccurring_values AS DOUBLE) / n_distinct
+    AS percentage_of_reoccurring_values_to_all_values,
+  CAST(n_reoccurring_points AS DOUBLE) / n_points
+    AS percentage_of_reoccurring_datapoints_to_all_datapoints,
+  CAST(sum_reoccurring_values AS DOUBLE) AS sum_of_reoccurring_values,
+  CAST(sum_reoccurring_points AS DOUBLE) AS sum_of_reoccurring_data_points
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20-q21: near-dup detection (no SQL oracle — engine-hash-specific; the
 # driver records the weaker rows-only check, and pytest pins semantics)
 # ---------------------------------------------------------------------------
 
@@ -779,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "number_peaks": q_number_peaks,
+        "reoccurring_stats": q_reoccurring,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -801,6 +910,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _ORACLE_LANGUAGE_ID,
         "quality_score": _ORACLE_QUALITY_SCORE,
         "token_count": _ORACLE_TOKEN_COUNT,
+        "number_peaks": _ORACLE_NUMBER_PEAKS,
+        "reoccurring_stats": _ORACLE_REOCCURRING,
         # minhash_near_dups / simhash_near_dups: engine-hash-specific —
         # intentionally no SQL oracle (rows-only check); semantics pinned in
         # tests/test_dedup.py

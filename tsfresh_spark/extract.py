@@ -65,7 +65,10 @@ def _validate_settings(settings: dict, kind_to_settings: dict | None = None) -> 
 def _batched_simple() -> dict:
     """Grid-sharing fast paths for 'simple' kernels whose parameter grids
     share expensive intermediates (values identical to per-param calls)."""
-    from tsfresh_spark.kernels.entropy import fourier_entropy_batch
+    from tsfresh_spark.kernels.entropy import (
+        approximate_entropy_batch,
+        fourier_entropy_batch,
+    )
     from tsfresh_spark.kernels.ordered import change_quantiles_batch
     from tsfresh_spark.kernels.statistics import (
         autocorrelation_batch,
@@ -77,6 +80,7 @@ def _batched_simple() -> dict:
     return {
         "change_quantiles": change_quantiles_batch,
         "fourier_entropy": fourier_entropy_batch,
+        "approximate_entropy": approximate_entropy_batch,
         "quantile": quantile_batch,
         "ratio_beyond_r_sigma": ratio_beyond_r_sigma_batch,
         "large_standard_deviation": large_standard_deviation_batch,

@@ -26,20 +26,44 @@ def binned_entropy(x, max_bins):
     return -np.sum(probs * np.log(probs))
 
 
+_CHEB_DENSE_LIMIT = 4096  # n beyond which the O(n²) dense matrices spill
+
+
+def _cheb_matrices(x: np.ndarray, widths: list[int]):
+    """Chebyshev window-distance matrices for each width, built as
+    diagonal-shifted maxima of the single |x_i - x_j| base matrix — exact
+    same values as the 3-D broadcast, ~m× less memory traffic."""
+    D = np.abs(x[:, None] - x[None, :])
+    out = {}
+    d = D
+    for w in range(2, max(widths) + 1):
+        d = np.maximum(d[:-1, :-1], D[w - 1 :, w - 1 :])
+        if w in widths:
+            out[w] = d
+    if 1 in widths:
+        out[1] = D
+    return out
+
+
 @kernel("sample_entropy", "simple", high_comp_cost=True)
 def sample_entropy(x):
     """SampEn with m=2, r=0.2·std, Chebyshev distance
-    (feature_calculators.py:1701-1754).  Row-at-a-time pairwise distances so
-    peak memory stays O(n) per row instead of O(n²) for the full matrix."""
+    (feature_calculators.py:1701-1754)."""
     x = np.asarray(x, dtype=float)
     if np.isnan(x).any():
         return np.nan
     m = 2
     tol = 0.2 * np.std(x)
 
+    if 2 <= len(x) <= _CHEB_DENSE_LIMIT:
+        mats = _cheb_matrices(x, [m, m + 1])
+        B = int((mats[m] <= tol).sum()) - mats[m].shape[0]
+        A = int((mats[m + 1] <= tol).sum()) - mats[m + 1].shape[0]
+        with np.errstate(all="ignore"):
+            return -np.log(A / B)
+
     def _count_similar(width):
         windows = sliding_windows(x, width)
-        # count of pairs (i, j) with max|w_i - w_j| <= tol, minus the diagonal
         total = 0
         for row in windows:
             total += np.sum(np.abs(row - windows).max(axis=1) <= tol) - 1
@@ -77,6 +101,62 @@ def approximate_entropy(x, m, r):
         return np.sum(np.log(C)) / k
 
     return np.abs(_phi(m) - _phi(m + 1))
+
+
+def approximate_entropy_batch(x, param_list):
+    """Grid-batched ApEn: the O(n²) Chebyshev distance blocks are computed
+    once per window width and thresholded for every r in the grid — counts
+    (exact integers) are identical to per-parameter calls."""
+    from tsfresh_spark.naming import encode_parameters
+
+    x = np.asarray(x, dtype=float)
+    N = x.size
+    std = np.std(x)
+    names = [encode_parameters(p) for p in param_list]
+    ms = sorted({p["m"] for p in param_list})
+    if len(ms) != 1:
+        # mixed m grids: fall back to per-parameter evaluation
+        return [
+            (nm, approximate_entropy(x, **p)) for nm, p in zip(names, param_list)
+        ]
+    m = ms[0]
+    if N <= m + 1:
+        return [(nm, 0) for nm in names]
+    rs = np.array([p["r"] * std for p in param_list])
+    if (rs < 0).any():
+        raise ValueError("Parameter r must be positive.")
+
+    if N <= _CHEB_DENSE_LIMIT:
+        mats = _cheb_matrices(x, [m, m + 1])
+
+        def _phis(mm):
+            d = mats[mm]
+            k = d.shape[0]
+            out = np.empty(len(rs))
+            for j, r in enumerate(rs):
+                C = (d <= r).sum(axis=0) / k
+                out[j] = np.sum(np.log(C)) / k
+            return out
+
+    else:
+
+        def _phis(mm):
+            windows = sliding_windows(x, mm)
+            k = len(windows)
+            counts = np.zeros((len(rs), k), dtype=np.int64)
+            block = max(1, int(2**22 // max(1, k * mm)))
+            for start in range(0, k, block):
+                chunk = windows[start : start + block]
+                d = np.abs(chunk[:, None, :] - windows[None, :, :]).max(axis=2)
+                for j, r in enumerate(rs):
+                    counts[j] += (d <= r).sum(axis=0)
+            C = counts / k
+            return np.sum(np.log(C), axis=1) / k
+
+    phi_m = _phis(m)
+    phi_m1 = _phis(m + 1)
+    values = np.abs(phi_m - phi_m1)
+    return list(zip(names, values))
 
 
 @kernel("permutation_entropy", "simple")
