@@ -120,3 +120,20 @@ def test_lsh_topk_recall(spark, vectors):
     # every approx hit is scored identically to the exact scorer
     merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
     assert (merged.sim_a == merged.sim_e).all()
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from tsfresh_spark.operators.similarity import cosine_topk_ivf
+
+    queries = vectors.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk_bruteforce(vectors, queries, k=3).toPandas()
+    approx = cosine_topk_ivf(
+        vectors, queries, k=3, n_lists=8, n_probe=2
+    ).toPandas()
+    exact_pairs = {(r.qid, r.nid) for _, r in exact.iterrows()}
+    approx_pairs = {(r.qid, r.nid) for _, r in approx.iterrows()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # clustered data + 8 lists ≈ the true clusters → near-perfect recall
+    assert recall >= 0.8
+    merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
+    assert (merged.sim_a == merged.sim_e).all()

@@ -88,6 +88,97 @@ def lsh_bucket_expr(vec_col, dim: int, num_planes: int = 12):
     return bucket
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_lists`` cells; each query scans only its
+    ``n_probe`` nearest cells with exact cosine re-ranking.
+
+    The classic FAISS-style scale recipe on Spark primitives: the quantizer
+    trains on Spark ML KMeans (one pass over a sample), cell assignment is a
+    broadcast centroid crossjoin, and candidate scoring shuffles only on the
+    small (cell) key — corpus never self-joins.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qemb"),
+    )
+    train = c.select(array_to_vector("emb").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def cell_exprs(vec):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in ctr]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+            for i, ctr in enumerate(centroids)
+        ]
+        return F.array(*dists)
+
+    c_cells = (
+        c.withColumn("d", cell_exprs(F.col("emb")))
+        .withColumn("cell", F.expr("array_position(d, array_min(d)) - 1").cast("int"))
+        .drop("d")
+    )
+
+    # query probes: n_probe nearest cells each
+    q_cells = (
+        q.withColumn("d", cell_exprs(F.col("qemb")))
+        .withColumn(
+            "probes",
+            F.slice(
+                F.expr(
+                    "transform(array_sort(arrays_zip(d, sequence(0, size(d) - 1))),"
+                    " s -> s['1'])"
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("qid", "qemb", F.explode("probes").alias("cell"))
+    )
+
+    sim = _cosine(F.col("emb"), F.col("qemb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c_cells.join(F.broadcast(q_cells), on="cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", sim.alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
