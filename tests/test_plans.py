@@ -1,0 +1,63 @@
+"""Physical-plan contracts: pushdown, broadcast, and shuffle discipline —
+the properties that make the operators survive a 100x scale-up."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.filter(F.col("user_id") == 7).select("user_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.select("user_id", "value")
+    plan = _plan(q)
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in plan
+
+
+def test_extraction_prunes_unused_columns(spark, sf_dir):
+    """The tokens extraction must not drag props/event_id into the scan."""
+    from tsfresh_spark.extract import extract_features_tokens
+    from tsfresh_spark.sources.tables import events_tokens
+    from tsfresh_spark.settings import minimal_settings
+
+    toks = events_tokens(spark, sf_dir)
+    out = extract_features_tokens(toks, minimal_settings())
+    plan = _plan(out)
+    assert "props" not in plan  # the json blob column never leaves the scan
+
+
+def test_similarity_broadcasts_queries(spark):
+    from tsfresh_spark.operators.similarity import cosine_topk_bruteforce
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(i) for i in range(8)]).alias("embedding"),
+    )
+    out = cosine_topk_bruteforce(df, df.limit(4), k=2)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_grouped_extraction_single_shuffle(spark, sf_dir):
+    from tsfresh_spark.extract import extract_features_long
+    from tsfresh_spark.settings import minimal_settings
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("kind"),
+        F.col("ts").alias("time"),
+        F.col("value"),
+    )
+    out = extract_features_long(ev, minimal_settings())
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1  # exactly the groupBy co-location
