@@ -570,7 +570,7 @@ def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_step_seconds=3600,
     )
     base = eng._base_tier(points)
-    tier = eng._feature_tier(eng.decode_points(base), 86400)
+    tier = eng._cascade_tier(base, 86400)  # narrow split, zero shuffle
     return tier.select(
         "user_id",
         "event_type",

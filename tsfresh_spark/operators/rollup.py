@@ -11,9 +11,11 @@ Tier cascade over a corpus of (doc_id, source) series:
             the base-grid points inside the window, plus the compressed
             point payload.
 
-Each higher tier decodes the previous tier's payloads instead of rescanning
-raw input — the codec is bit-exact, so "cascade" and "direct" produce
-identical features (asserted in tests).  Every tier write is range-laid-out
+Feature tiers read the BASE tier's compressed day-chunks, never the raw
+input: day-aligned windows split each payload inside a narrow ``mapInPandas``
+(zero shuffle); wider windows decode + regroup (one shuffle).  The codec is
+bit-exact, so "cascade" and "direct" produce identical features (asserted in
+tests).  Every tier write is range-laid-out
 (repartitionByRange on doc_id, sorted within partitions) and recorded in the
 manifest with per-file row/byte metrics and a COMMIT record; a re-run of the
 same job_id skips committed tiers (resume from checkpoint).
@@ -165,6 +167,65 @@ class RollupEngine:
         chunks = self._chunk_points(points, window_seconds)
         return self._apply_chunks(chunks, with_features=True)
 
+    def _cascade_tier(self, stored: DataFrame, window_seconds: int) -> DataFrame:
+        """Feature tier as a NARROW map over a stored tier whose storage
+        chunks (per-day payloads) are window-aligned: each payload is
+        decoded and split at window boundaries inside the UDF — no explode,
+        no shuffle, no regroup.  Valid when DAY % window_seconds == 0 (every
+        window then lives inside exactly one day chunk)."""
+        if DAY % window_seconds != 0:
+            raise ValueError("narrow cascade needs DAY-aligned windows")
+        from tsfresh_spark.functions.codec import decode_series
+
+        idc = list(self.id_cols)
+        kind_col = self.id_cols[1]
+        settings = self.settings
+        id_field_types = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in stored.schema.fields
+            if f.name in idc
+        )
+        schema = (
+            f"{id_field_types}, window_start long, n_points long, "
+            "features map<string,double>, payload binary"
+        )
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = []
+                id_arrays = [pdf[c].values for c in idc]
+                for payload, kind, *ids in zip(
+                    pdf["payload"].values, pdf[kind_col].values, *id_arrays
+                ):
+                    ts, vals = decode_series(bytes(payload))
+                    if len(ts) == 0:
+                        continue
+                    w = ts - ts % window_seconds
+                    cuts = np.flatnonzero(np.diff(w)) + 1
+                    starts = np.concatenate([[0], cuts])
+                    ends = np.concatenate([cuts, [len(ts)]])
+                    id_map = dict(zip(idc, ids))
+                    for s, e in zip(starts, ends):
+                        sub_ts, sub_v = ts[s:e], vals[s:e]
+                        rows.append(
+                            {
+                                **id_map,
+                                "window_start": int(w[s]),
+                                "n_points": int(e - s),
+                                "features": dict(
+                                    compute_series_features(
+                                        sub_v, str(kind), settings
+                                    )
+                                ),
+                                "payload": encode_series(sub_ts, sub_v),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        return stored.select(*idc, "payload").mapInPandas(run, schema)
+
     def _apply_chunks(self, chunks: DataFrame, *, with_features: bool) -> DataFrame:
         idc = list(self.id_cols)
         settings = self.settings
@@ -237,17 +298,20 @@ class RollupEngine:
         do_tier("raw", lambda: self._archive_tier(raw_points), "raw<-input")
         do_tier("base", lambda: self._base_tier(raw_points), "base<-input(gapfill)")
 
-        prev = "base"
         for spec in self.tiers:
-            src = prev
+            if DAY % spec.window_seconds == 0:
+                # day-aligned windows: narrow payload split, zero shuffle
+                def compute(spec=spec):
+                    stored = self.spark.read.parquet(self.tier_path("base"))
+                    return self._cascade_tier(stored, spec.window_seconds)
 
-            def compute(spec=spec, src=src):
-                pts = self._decode_tier_points(src)
-                return self._feature_tier(pts, spec.window_seconds)
+                lineage = f"{spec.name}<-base(narrow-split)"
+            else:
+                # wider-than-a-day windows: decode + regroup (one shuffle)
+                def compute(spec=spec):
+                    pts = self._decode_tier_points("base")
+                    return self._feature_tier(pts, spec.window_seconds)
 
-            do_tier(spec.name, compute, f"{spec.name}<-{src}(decode+window)")
-            # every feature tier reads the BASE grid points, which each
-            # feature tier's payload preserves exactly — so chaining through
-            # the previous feature tier is lossless
-            prev = spec.name
+                lineage = f"{spec.name}<-base(decode+window)"
+            do_tier(spec.name, compute, lineage)
         return out
