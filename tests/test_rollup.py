@@ -139,3 +139,41 @@ def test_resume_skips_committed_tiers(spark, engine, raw_points):
 
 def test_fresh_job_id_recomputes(spark, engine, raw_points):
     assert engine.manifest.committed_tiers("job-B") == set()
+
+
+def test_wider_than_day_tier_uses_regroup_path(spark, raw_points, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("rollup7d"))
+    eng = RollupEngine(
+        spark,
+        base,
+        settings=minimal_settings(),
+        base_step_seconds=3600,
+        tiers=[TierSpec("7d", 7 * DAY)],
+        range_partitions=2,
+    )
+    paths = eng.run(raw_points, job_id="job-7d")
+    week = spark.read.parquet(paths["7d"]).toPandas()
+    assert len(week) >= 2  # both series produce at least one weekly window
+    assert (week.window_start % (7 * DAY) == 0).all()
+    # weekly features equal direct computation over the base grid
+    base_pts = {}
+    for _, row in spark.read.parquet(paths["base"]).toPandas().iterrows():
+        ts, vals = decode_series(bytes(row.payload))
+        key = (row.doc_id, row.source)
+        base_pts.setdefault(key, []).append((ts, vals))
+    for _, row in week.iterrows():
+        ts_all = np.concatenate(
+            [t for t, _ in sorted(base_pts[(row.doc_id, row.source)], key=lambda p: p[0][0])]
+        )
+        val_all = np.concatenate(
+            [v for _, v in sorted(base_pts[(row.doc_id, row.source)], key=lambda p: p[0][0])]
+        )
+        mask = (ts_all >= row.window_start) & (ts_all < row.window_start + 7 * DAY)
+        direct = dict(
+            compute_series_features(val_all[mask], row.source, minimal_settings())
+        )
+        got = dict(row.features)
+        for k in direct:
+            assert got[k] == direct[k] or (
+                np.isnan(got[k]) and np.isnan(direct[k])
+            ), (k, got[k], direct[k])
