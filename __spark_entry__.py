@@ -370,6 +370,7 @@ FROM base GROUP BY user_id, DATE_TRUNC('hour', ts)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tsfresh_spark.operators.dedup import exact_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -391,6 +392,7 @@ FROM documents
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tsfresh_spark.operators.text import text_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -418,6 +420,7 @@ FROM w
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
     from tsfresh_spark.operators.similarity import cosine_topk_bruteforce
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
