@@ -473,3 +473,20 @@ def test_benford_correlation():
     assert v == pytest.approx(1.0, abs=0.01)  # Fibonacci follows Benford
     equal = k("benford_correlation")(np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=float))
     assert np.isnan(equal)  # uniform digit distribution → zero variance → NaN
+
+
+def test_sample_entropy_reference_golden():
+    """Published reference expectations for sample_entropy."""
+    se = k("sample_entropy")
+    assert se(np.array([1] * 10, dtype=float)) == pytest.approx(0.25131442)
+    assert se(np.array([1, 1, 2, 1, 1, 1, 1, 1, 1, 1], dtype=float)) == pytest.approx(
+        0.74193734
+    )
+    assert se(np.array([1, 1, 1, 2, 1, 1, 1, 1, 1, 1], dtype=float)) == pytest.approx(
+        0.74193734
+    )
+    assert se(np.array([1, -1, 1, -1, 1, -1], dtype=float)) == pytest.approx(
+        0.69314718
+    )
+    assert np.isnan(se(np.array([1, -1, 1, np.nan, 1, -1])))
+    assert se(np.arange(1000, dtype=float)) == pytest.approx(0.0010314596066622707)
