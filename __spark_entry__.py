@@ -572,8 +572,10 @@ def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_cols=("user_id", "event_type"),
         base_step_seconds=3600,
     )
-    base = eng._base_tier(points)
-    tier = eng._cascade_tier(base, 86400)  # narrow split, zero shuffle
+    # compact base (1 shuffle; byte-identical to the window-function path,
+    # tests/test_rollup.py::test_compact_base_tier_bitexact) + narrow split
+    base = eng._base_tier_compact(points)
+    tier = eng._cascade_tier(base, 86400)
     return tier.select(
         "user_id",
         "event_type",

@@ -177,3 +177,37 @@ def test_wider_than_day_tier_uses_regroup_path(spark, raw_points, tmp_path_facto
             assert got[k] == direct[k] or (
                 np.isnan(got[k]) and np.isnan(direct[k])
             ), (k, got[k], direct[k])
+
+
+@pytest.mark.parametrize("method", ["ffill", "linear"])
+def test_compact_base_tier_bitexact(spark, raw_points, tmp_path_factory, method):
+    """The one-shuffle compact base tier must reproduce the window-function
+    path byte-for-byte (payloads included)."""
+    eng_kwargs = dict(
+        settings=minimal_settings(), base_step_seconds=300, gap_method=method,
+        range_partitions=2,
+    )
+    a = RollupEngine(spark, str(tmp_path_factory.mktemp("bw")), **eng_kwargs)
+    b = RollupEngine(
+        spark, str(tmp_path_factory.mktemp("bc")), base_impl="compact", **eng_kwargs
+    )
+    pa = a._base_tier(raw_points).toPandas()
+    pb = b._base_tier_compact(raw_points).toPandas()
+    key = ["doc_id", "source", "window_start"]
+    pa = pa.sort_values(key).reset_index(drop=True)
+    pb = pb.sort_values(key).reset_index(drop=True)
+    assert len(pa) == len(pb)
+    for ra, rb in zip(pa.itertuples(), pb.itertuples()):
+        assert (ra.doc_id, ra.source, ra.window_start) == (
+            rb.doc_id, rb.source, rb.window_start,
+        )
+        assert ra.n_points == rb.n_points
+        assert bytes(ra.payload) == bytes(rb.payload), (
+            ra.doc_id, ra.window_start, method,
+        )
+    # and the compact plan has exactly one exchange
+    plan = (
+        b._base_tier_compact(raw_points)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -65,6 +65,7 @@ class RollupEngine:
     gap_method: str = "ffill"
     tiers: list[TierSpec] = field(default_factory=lambda: list(DEFAULT_TIERS))
     range_partitions: int | None = None
+    base_impl: str = "windows"  # "windows" (documented op) | "compact" (1 shuffle)
 
     def __post_init__(self):
         self.manifest = Manifest(self.spark, self.base_path)
@@ -162,6 +163,81 @@ class RollupEngine:
         )
         chunks = self._chunk_points(pts, DAY)
         return self._apply_chunks(chunks, with_features=False)
+
+    def _base_tier_compact(self, points: DataFrame) -> DataFrame:
+        """Single-shuffle base tier: one ``applyInPandas`` per series does
+        bucket → grid → fill → day-chunk → encode in numpy.
+
+        Bit-equal to :meth:`_base_tier` (asserted in tests): the grid spans
+        first..last observed bucket, so linear fill is interior-only
+        (np.interp) and ffill is a forward index scan.  The window-function
+        path remains the default/documented operator; this is the
+        one-exchange physical alternative for very large fleets.
+        """
+        idc = list(self.id_cols)
+        step = self.base_step_seconds
+        method = self.gap_method
+        if method not in ("ffill", "linear"):
+            raise ValueError(f"unsupported gap_method {method!r}")
+        id_field_types = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in points.schema.fields
+            if f.name in idc
+        )
+        schema = (
+            f"{id_field_types}, window_start long, n_points long, "
+            "features map<string,double>, payload binary"
+        )
+
+        def per_series(key, pdf: pd.DataFrame):
+            order = np.argsort(pdf["ts"].values, kind="mergesort")
+            ts = pdf["ts"].values[order].astype(np.int64)
+            vals = pdf["value"].values[order].astype(np.float64)
+            bucket = ts - ts % step
+            # last observation per bucket (by ts): in ts order the last
+            # index of each bucket run wins
+            change = np.concatenate([bucket[1:] != bucket[:-1], [True]])
+            ub = bucket[change]
+            uv = vals[change]
+            grid = np.arange(ub[0], ub[-1] + step, step, dtype=np.int64)
+            pos = (ub - ub[0]) // step
+            filled = np.full(len(grid), np.nan)
+            filled[pos] = uv
+            if method == "ffill":
+                idx = np.where(~np.isnan(filled), np.arange(len(filled)), 0)
+                np.maximum.accumulate(idx, out=idx)
+                filled = filled[idx]
+            else:
+                # linear, interior-only by construction; op-for-op identical
+                # to fill_linear's prev + (next-prev)*(pos-pt)/(nt-pt)
+                j = np.searchsorted(ub, grid, side="right") - 1
+                prev_t, prev_v = ub[j], uv[j]
+                nxt = np.minimum(j + 1, len(ub) - 1)
+                next_t, next_v = ub[nxt], uv[nxt]
+                observed = grid == prev_t
+                with np.errstate(all="ignore"):
+                    interp = prev_v + (next_v - prev_v) * (
+                        grid - prev_t
+                    ).astype(np.float64) / (next_t - prev_t).astype(np.float64)
+                filled = np.where(observed, prev_v, interp)
+            day_start = grid - grid % DAY
+            cuts = np.flatnonzero(np.diff(day_start)) + 1
+            starts = np.concatenate([[0], cuts])
+            ends = np.concatenate([cuts, [len(grid)]])
+            id_map = dict(zip(idc, key))
+            rows = [
+                {
+                    **id_map,
+                    "window_start": int(day_start[s]),
+                    "n_points": int(e - s),
+                    "features": None,
+                    "payload": encode_series(grid[s:e], filled[s:e]),
+                }
+                for s, e in zip(starts, ends)
+            ]
+            return pd.DataFrame(rows)
+
+        return points.groupBy(*idc).applyInPandas(per_series, schema=schema)
 
     def _feature_tier(self, points: DataFrame, window_seconds: int) -> DataFrame:
         chunks = self._chunk_points(points, window_seconds)
@@ -296,7 +372,14 @@ class RollupEngine:
             return True
 
         do_tier("raw", lambda: self._archive_tier(raw_points), "raw<-input")
-        do_tier("base", lambda: self._base_tier(raw_points), "base<-input(gapfill)")
+        base_fn = (
+            self._base_tier_compact if self.base_impl == "compact" else self._base_tier
+        )
+        do_tier(
+            "base",
+            lambda: base_fn(raw_points),
+            f"base<-input(gapfill:{self.base_impl})",
+        )
 
         for spec in self.tiers:
             if DAY % spec.window_seconds == 0:
