@@ -829,7 +829,137 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
-# q20-q21: near-dup detection (no SQL oracle — engine-hash-specific; the
+# q20: c3 + time-reversal asymmetry — lag-product kernels vs LEAD SQL
+# ---------------------------------------------------------------------------
+
+_LAGS = [1, 2, 3]
+
+
+def q_lag_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    long_df = extract_features_tokens(
+        toks,
+        {
+            "c3": [{"lag": lag} for lag in _LAGS],
+            "time_reversal_asymmetry_statistic": [{"lag": lag} for lag in _LAGS],
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    short = F.when(
+        F.col("variable").contains("time_reversal"), F.lit("trev")
+    ).otherwise(F.lit("c3"))
+    lag = F.regexp_extract("variable", r"lag_(\d+)$", 1)
+    return (
+        long_df.withColumn("variable", F.concat(short, F.lit("_lag"), lag))
+        .groupBy("user_id", "event_type")
+        .pivot("variable", [f"{p}_lag{lag}" for p in ("c3", "trev") for lag in _LAGS])
+        .agg(F.first("value"))
+    )
+
+
+_ORACLE_LAG_PRODUCTS = f"""
+WITH base AS ({_BASE_SQL}),
+w AS (
+  SELECT user_id, event_type, v,
+         COUNT(*) OVER p AS n,
+         {", ".join(
+             f"LEAD(v, {lag}) OVER po AS v{lag}, LEAD(v, {2*lag}) OVER po AS v{2*lag}x"
+             for lag in _LAGS
+         )}
+  FROM base
+  WINDOW po AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+         p AS (PARTITION BY user_id, event_type)
+)
+SELECT user_id, event_type,
+  {", ".join(
+      f"CASE WHEN MAX(n) > {2*lag} THEN CAST(SUM(v{2*lag}x * v{lag} * v) AS DOUBLE)"
+      f" / (MAX(n) - {2*lag}) ELSE 0.0 END AS c3_lag{lag}"
+      for lag in _LAGS
+  )},
+  {", ".join(
+      f"CASE WHEN MAX(n) > {2*lag} THEN CAST(SUM(v{2*lag}x * v{2*lag}x * v{lag}"
+      f" - v{lag} * v * v) AS DOUBLE) / (MAX(n) - {2*lag}) ELSE 0.0 END AS trev_lag{lag}"
+      for lag in _LAGS
+  )}
+FROM w GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21: energy_ratio_by_chunks — np.array_split remainder rule in SQL
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = 10
+
+
+def q_energy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    long_df = extract_features_tokens(
+        toks,
+        {
+            "energy_ratio_by_chunks": [
+                {"num_segments": _SEGMENTS, "segment_focus": i}
+                for i in range(_SEGMENTS)
+            ]
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return long_df.select(
+        "user_id",
+        "event_type",
+        F.regexp_extract("variable", r"segment_focus_(\d+)$", 1)
+        .cast("long")
+        .alias("segment"),
+        "value",
+    )
+
+
+_ORACLE_ENERGY_RATIO = f"""
+WITH base AS ({_BASE_SQL}),
+w AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+seg AS (
+  -- np.array_split: first (n % k) chunks have size n//k + 1
+  SELECT user_id, event_type, v, n,
+         CASE WHEN i < (n % {_SEGMENTS}) * (n // {_SEGMENTS} + 1)
+              THEN i // (n // {_SEGMENTS} + 1)
+              ELSE (n % {_SEGMENTS})
+                   + (i - (n % {_SEGMENTS}) * (n // {_SEGMENTS} + 1)) // (n // {_SEGMENTS})
+         END AS segment
+  FROM w
+),
+per_seg AS (
+  SELECT user_id, event_type, segment, SUM(v*v) AS e
+  FROM seg GROUP BY user_id, event_type, segment
+),
+totals AS (
+  SELECT user_id, event_type, SUM(e) AS te FROM per_seg
+  GROUP BY user_id, event_type
+),
+grid AS (
+  SELECT t.user_id, t.event_type, s.segment, t.te
+  FROM totals t CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_SEGMENTS - 1})) AS segment) s
+)
+SELECT g.user_id, g.event_type, CAST(g.segment AS BIGINT) AS segment,
+       CASE WHEN g.te = 0 THEN NULL
+            ELSE CAST(COALESCE(p.e, 0) AS DOUBLE) / g.te END AS value
+FROM grid g LEFT JOIN per_seg p
+  ON g.user_id = p.user_id AND g.event_type = p.event_type AND g.segment = p.segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22-q23: near-dup detection (no SQL oracle — engine-hash-specific; the
 # driver records the weaker rows-only check, and pytest pins semantics)
 # ---------------------------------------------------------------------------
 
@@ -893,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "number_peaks": q_number_peaks,
         "reoccurring_stats": q_reoccurring,
+        "c3_time_reversal": q_lag_products,
+        "energy_ratio_chunks": q_energy_ratio,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -917,6 +1049,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _ORACLE_TOKEN_COUNT,
         "number_peaks": _ORACLE_NUMBER_PEAKS,
         "reoccurring_stats": _ORACLE_REOCCURRING,
+        "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
+        "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
         # minhash_near_dups / simhash_near_dups: engine-hash-specific —
         # intentionally no SQL oracle (rows-only check); semantics pinned in
         # tests/test_dedup.py
