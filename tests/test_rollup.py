@@ -211,3 +211,33 @@ def test_compact_base_tier_bitexact(spark, raw_points, tmp_path_factory, method)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_retention_ages_out_old_windows(spark, raw_points, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("rollup_ret"))
+    eng = RollupEngine(
+        spark, base, settings=minimal_settings(), base_step_seconds=3600,
+        tiers=[TierSpec("1h", 3600)], range_partitions=2,
+    )
+    eng.run(raw_points, job_id="job-ret")
+    tier_df = spark.read.parquet(eng.tier_path("1h")).toPandas()
+    cutoff_candidates = sorted(tier_df.window_start.unique())
+    # keep only the newest half of the windows
+    mid = cutoff_candidates[len(cutoff_candidates) // 2]
+    max_ts = int(tier_df.window_start.max()) + 3600
+    result = eng.apply_retention(
+        "1h", keep_seconds=max_ts - mid, now_ts=max_ts, job_id="job-ret"
+    )
+    assert result["after"] < result["before"]
+    remaining = spark.read.parquet(eng.tier_path("1h")).toPandas()
+    assert (remaining.window_start >= mid).all()
+    assert result["after"] == len(remaining)
+    # the manifest carries the retention lineage with before->after counts
+    metrics = eng.manifest.tier_metrics("job-ret", "1h")
+    assert any("retention(cutoff=" in m["lineage"] for m in metrics)
+    # untouched windows are byte-identical (payloads survive the rewrite)
+    old_rows = tier_df[tier_df.window_start >= mid].sort_values(
+        ["doc_id", "source", "window_start"]
+    )
+    new_rows = remaining.sort_values(["doc_id", "source", "window_start"])
+    assert [bytes(p) for p in old_rows.payload] == [bytes(p) for p in new_rows.payload]

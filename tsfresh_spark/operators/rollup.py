@@ -349,6 +349,41 @@ class RollupEngine:
 
         return chunks.mapInPandas(run_batch, schema=schema)
 
+    # ------------------------------------------------------------- retention
+
+    def apply_retention(
+        self, tier: str, *, keep_seconds: int, now_ts: int, job_id: str
+    ) -> dict:
+        """Drop windows older than ``now_ts - keep_seconds`` from a tier.
+
+        Classic retention ladder: raw keeps days, base weeks, 1h months, 1d
+        forever.  Parquet backend rewrites the filtered tier (atomic via
+        staging path + rename); on Iceberg this maps to a metadata-only
+        ``DELETE WHERE window_start < cutoff``.  The manifest records the
+        cut with row counts before/after, so lineage shows what was aged
+        out and when.
+        """
+        cutoff = now_ts - keep_seconds
+        path = self.tier_path(tier)
+        current = self.spark.read.parquet(path)
+        before = current.count()
+        kept = current.filter(F.col("window_start") >= F.lit(cutoff))
+        staging = f"{path}.retention-staging"
+        kept.write.mode("overwrite").parquet(staging)
+
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(conf)
+        fs.delete(hpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+
+        after = self.spark.read.parquet(path).count()
+        self.manifest.record_tier(
+            job_id, tier, path, f"retention(cutoff={cutoff}) {before}->{after}"
+        )
+        return {"tier": tier, "cutoff": cutoff, "before": before, "after": after}
+
     # -------------------------------------------------------------- pipeline
 
     def run(self, raw_points: DataFrame, job_id: str) -> dict[str, str]:
