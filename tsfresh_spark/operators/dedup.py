@@ -75,6 +75,9 @@ def minhash_signatures(
     row per doc, no shuffle.
     """
     sh = _shingles(text_col, shingle_n).alias("shingles")
+    # 64 independent streaming min-passes beat a single zip_with fold here
+    # (the fold allocates a 64-wide accumulator array per shingle; measured
+    # 21s vs 16s on the sf0.1 corpus)
     sig = F.array(
         *[
             F.array_min(
@@ -203,25 +206,31 @@ def simhash(
     """
     words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-                ).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
+    # single pass: fold each word hash into a 64-wide ±1 counter array,
+    # then assemble the sign bits (same totals as 64 separate aggregates —
+    # integer sums are order-free — with one expression tree)
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(63)],
+        F.lit(-(1 << 63)).cast("long"),  # bit 63 == the sign bit
+    )
+    bit_votes = lambda h: F.transform(
+        masks,
+        lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
+    )
+    staged = df.select(F.col(id_col), counts.alias("_counts"))
     fingerprint = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
+    for b in range(64):
+        bit = (
+            F.when(F.element_at(F.col("_counts"), b + 1) > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         fingerprint = fingerprint.bitwiseOR(F.shiftleft(bit, b))
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return staged.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_duplicates(
