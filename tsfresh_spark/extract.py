@@ -222,12 +222,28 @@ def extract_features_tokens(
     id_field = df.schema[id_col]
     id_type = id_field.dataType.simpleString()
 
+    # cap the long-form buffer: with ~800 features/series a full Arrow batch
+    # would hold millions of rows before yielding
+    FLUSH_ROWS = 200_000
+
     def run_batch(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
-        sub = pdf  # already one batch
         ids, kinds, variables, values = [], [], [], []
         map_rows = []
+
+        def flush_long():
+            out = pd.DataFrame(
+                {
+                    id_col: ids,
+                    kind_col: kinds,
+                    "variable": variables,
+                    "value": np.asarray(values, dtype=np.float64),
+                }
+            )
+            ids.clear(), kinds.clear(), variables.clear(), values.clear()
+            return out
+
         for doc_id, tokens, kind in zip(
-            sub[id_col].values, sub[tokens_col].values, sub[kind_col].values
+            pdf[id_col].values, pdf[tokens_col].values, pdf[kind_col].values
         ):
             # pandas would surface an integer value column as int64 — match it
             x = np.asarray(tokens, dtype=np.int64)
@@ -242,18 +258,14 @@ def extract_features_tokens(
                     kinds.append(kind)
                     variables.append(feature)
                     values.append(value)
+                if len(ids) >= FLUSH_ROWS:
+                    yield flush_long()
             else:
                 feats = dict(compute_series_features(x, str(kind), fc))
                 map_rows.append((doc_id, kind, feats))
         if output == "long":
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    kind_col: kinds,
-                    "variable": variables,
-                    "value": np.asarray(values, dtype=np.float64),
-                }
-            )
+            if ids:
+                yield flush_long()
         else:
             yield pd.DataFrame(
                 map_rows, columns=[id_col, kind_col, "features"]
