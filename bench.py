@@ -87,6 +87,21 @@ def main() -> None:
     timings["extract_corpus_efficient"] = round(dt, 3)
     tokens_per_sec = round(total_tokens / dt, 1)
 
+    # the full ComprehensiveFCParameters family (788 features/kind incl. the
+    # O(n²) entropies) on a fixed 1500-doc slice — per-round evidence that
+    # the complete calculator family runs, with its own tokens/sec
+    from tsfresh_spark.settings import comprehensive_settings
+
+    comp = tokens_corpus(spark, 1500, n_partitions=cpus * 8).cache()
+    comp_tokens = comp.select(F.sum("n_tok")).collect()[0][0]
+    t0 = time.perf_counter()
+    materialize(
+        extract_features_tokens(comp, comprehensive_settings(), output="map")
+    )
+    dt = time.perf_counter() - t0
+    timings["extract_comprehensive_1500docs"] = round(dt, 3)
+    comprehensive_tokens_per_sec = round(comp_tokens / dt, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +114,7 @@ def main() -> None:
                 "tokens_per_sec": tokens_per_sec,
                 "total_tokens": int(total_tokens),
                 "events_tokens_per_sec": events_tokens_per_sec,
+                "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
                 "cpus": cpus,
             }
         )
