@@ -189,7 +189,7 @@ class RollupEngine:
             "features map<string,double>, payload binary"
         )
 
-        def per_series(key, pdf: pd.DataFrame):
+        def per_series(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             order = np.argsort(pdf["ts"].values, kind="mergesort")
             ts = pdf["ts"].values[order].astype(np.int64)
             vals = pdf["value"].values[order].astype(np.float64)
