@@ -111,3 +111,38 @@ def test_relevance_table_regression_task(spark, informative_matrix):
     )
     # noise target → nothing relevant
     assert not table.relevant.any()
+
+
+def test_multiclass_selection(spark):
+    """One-vs-all multiclass mode: features informative for a single class
+    survive with n_significant=1 but not n_significant=2."""
+    rng = np.random.RandomState(7)
+    n = 600
+    y = pd.Series(rng.randint(0, 3, n), index=np.arange(n))
+    pdf = pd.DataFrame({"id": np.arange(n)})
+    # informative for class 2 only
+    pdf["one_class"] = (y == 2) * 3.0 + rng.randn(n)
+    # informative for every class (scales with the label)
+    pdf["all_classes"] = y * 2.0 + 0.3 * rng.randn(n)
+    for i in range(4):
+        pdf[f"noise_{i}"] = rng.randn(n)
+    X = spark.createDataFrame(pdf)
+
+    from tsfresh_spark.operators.selection import (
+        calculate_relevance_table_multiclass,
+        select_features,
+    )
+
+    table = calculate_relevance_table_multiclass(X, y, id_col="id")
+    assert table.loc["one_class", "relevant"]
+    assert table.loc["all_classes", "relevant"]
+    assert table.loc["one_class", "n_significant"] >= 1
+    assert table.loc["all_classes", "n_significant"] == 3
+    assert not any(table.loc[f"noise_{i}", "relevant"] for i in range(4))
+    # stricter threshold drops the single-class feature
+    selected, strict = select_features(
+        X, y, id_col="id", multiclass=True, n_significant=3
+    )
+    kept = set(selected.columns) - {"id"}
+    assert "all_classes" in kept
+    assert "one_class" not in kept

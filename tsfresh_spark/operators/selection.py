@@ -203,6 +203,55 @@ def _feature_type(values: np.ndarray) -> str:
     return "real"
 
 
+def calculate_relevance_table_multiclass(
+    features_wide: DataFrame,
+    y: pd.Series,
+    *,
+    id_col: str = "id",
+    fdr_level: float = 0.05,
+    hypotheses_independent: bool = False,
+    n_significant: int = 1,
+) -> pd.DataFrame:
+    """Multiclass relevance: one-vs-all binary table per class, a feature is
+    relevant when it is significant for at least ``n_significant`` classes —
+    the reference's multiclass mode (relevance.py:175-187, 257-281,
+    377-393).  Adds one ``p_value_<class>``/``relevant_<class>`` column pair
+    per class."""
+    classes = sorted(pd.unique(y))
+    if len(classes) < 3:
+        raise ValueError("multiclass mode needs at least 3 classes")
+    combined: pd.DataFrame | None = None
+    for cls in classes:
+        table = calculate_relevance_table(
+            features_wide,
+            (y == cls).astype(int),
+            id_col=id_col,
+            ml_task="classification",
+            fdr_level=fdr_level,
+            hypotheses_independent=hypotheses_independent,
+        )
+        renamed = table.reset_index(drop=True)[
+            ["feature", "type", "p_value", "relevant"]
+        ].rename(
+            columns={
+                "p_value": f"p_value_{cls}",
+                "relevant": f"relevant_{cls}",
+            }
+        )
+        combined = (
+            renamed
+            if combined is None
+            else combined.merge(
+                renamed.drop(columns="type"), on="feature", how="outer"
+            )
+        )
+    combined["n_significant"] = sum(
+        combined[f"relevant_{cls}"].astype(int) for cls in classes
+    )
+    combined["relevant"] = combined["n_significant"] >= n_significant
+    return combined.set_index("feature", drop=False)
+
+
 def calculate_relevance_table(
     features_wide: DataFrame,
     y: pd.Series,
@@ -287,16 +336,29 @@ def select_features(
     ml_task: str = "auto",
     fdr_level: float = 0.05,
     hypotheses_independent: bool = False,
+    multiclass: bool = False,
+    n_significant: int = 1,
 ) -> tuple[DataFrame, pd.DataFrame]:
     """Project the relevant feature columns (selection.py:17-181); returns
-    (projected DataFrame, relevance table)."""
-    table = calculate_relevance_table(
-        features_wide,
-        y,
-        id_col=id_col,
-        ml_task=ml_task,
-        fdr_level=fdr_level,
-        hypotheses_independent=hypotheses_independent,
-    )
+    (projected DataFrame, relevance table).  ``multiclass=True`` uses
+    one-vs-all tables with the ``n_significant`` threshold."""
+    if multiclass:
+        table = calculate_relevance_table_multiclass(
+            features_wide,
+            y,
+            id_col=id_col,
+            fdr_level=fdr_level,
+            hypotheses_independent=hypotheses_independent,
+            n_significant=n_significant,
+        )
+    else:
+        table = calculate_relevance_table(
+            features_wide,
+            y,
+            id_col=id_col,
+            ml_task=ml_task,
+            fdr_level=fdr_level,
+            hypotheses_independent=hypotheses_independent,
+        )
     keep = [f for f in table[table.relevant].feature]
     return features_wide.select(id_col, *keep), table
