@@ -136,13 +136,15 @@ def test_multiclass_selection(spark):
     table = calculate_relevance_table_multiclass(X, y, id_col="id")
     assert table.loc["one_class", "relevant"]
     assert table.loc["all_classes", "relevant"]
-    assert table.loc["one_class", "n_significant"] >= 1
-    assert table.loc["all_classes", "n_significant"] == 3
+    # one-vs-all semantics: a single-class shift separates EVERY class from
+    # its complement → 3 significant; a monotone feature separates only the
+    # two extreme classes (the middle class is rank-invisible) → 2
+    assert table.loc["one_class", "n_significant"] == 3
+    assert table.loc["all_classes", "n_significant"] == 2
     assert not any(table.loc[f"noise_{i}", "relevant"] for i in range(4))
-    # stricter threshold drops the single-class feature
+    # stricter threshold keeps only the feature significant for all classes
     selected, strict = select_features(
         X, y, id_col="id", multiclass=True, n_significant=3
     )
     kept = set(selected.columns) - {"id"}
-    assert "all_classes" in kept
-    assert "one_class" not in kept
+    assert kept == {"one_class"}
