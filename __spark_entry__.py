@@ -959,7 +959,53 @@ FROM grid g LEFT JOIN per_seg p
 
 
 # ---------------------------------------------------------------------------
-# q22-q23: near-dup detection (no SQL oracle — engine-hash-specific; the
+# q22: as-of join — for each click, the user's latest prior purchase value
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.asof import asof_join
+
+    ev = _events_long(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("purchase_ts"),
+        F.col("v").alias("purchase_v"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_time="click_ts",
+        right_time="purchase_ts",
+        value_cols=["purchase_v"],
+        suffix="",
+    )
+
+
+_ORACLE_ASOF_JOIN = f"""
+WITH base AS ({_BASE_SQL}),
+clicks AS (
+  SELECT user_id, CAST(EPOCH(ts) AS BIGINT) AS click_ts
+  FROM base WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, CAST(EPOCH(ts) AS BIGINT) AS purchase_ts, v AS purchase_v
+  FROM base WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_ts, CAST(p.purchase_v AS BIGINT) AS purchase_v
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23-q24: near-dup detection (no SQL oracle — engine-hash-specific; the
 # driver records the weaker rows-only check, and pytest pins semantics)
 # ---------------------------------------------------------------------------
 
@@ -1025,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reoccurring_stats": q_reoccurring,
         "c3_time_reversal": q_lag_products,
         "energy_ratio_chunks": q_energy_ratio,
+        "asof_join": q_asof_join,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -1051,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "reoccurring_stats": _ORACLE_REOCCURRING,
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
+        "asof_join": _ORACLE_ASOF_JOIN,
         # minhash_near_dups / simhash_near_dups: engine-hash-specific —
         # intentionally no SQL oracle (rows-only check); semantics pinned in
         # tests/test_dedup.py

@@ -1,0 +1,94 @@
+"""As-of join — the time-series join primitive Spark lacks natively.
+
+For every left row, attach the most recent right row with
+``right_time <= left_time`` (direction="backward"; "forward" mirrors it),
+optionally bounded by a tolerance.
+
+Physical form: the classic union + window trick — tag both sides, union by
+key, one window ordered by (time, side) carries the latest right values
+forward, then filter back to left rows.  One hash shuffle on the key, no
+range-join row explosion, AQE-friendly; equality semantics match DuckDB's
+native ``ASOF JOIN`` (inclusive on equal timestamps), which serves as the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join; right ``value_cols`` arrive as ``<col><suffix>``
+    (null when no match / outside tolerance).  ``tolerance`` is in the time
+    column's own units."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_time).alias("_rt"),
+    ).select(*l.columns)
+    u = l.unionByName(r)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time → inclusive match
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.asc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.asc("_t"), F.desc("_side"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)
+
+    matched = u.select(
+        *u.columns,
+        *[pick(f"_r_{c}").alias(f"_m_{c}") for c in value_cols],
+        pick("_rt").alias("_m_rt"),
+    ).filter(F.col("_side") == 1)
+
+    if tolerance is not None:
+        gap = (
+            (F.col("_t") - F.col("_m_rt"))
+            if direction == "backward"
+            else (F.col("_m_rt") - F.col("_t"))
+        )
+        in_tol = F.col("_m_rt").isNotNull() & (gap <= F.lit(tolerance))
+    else:
+        in_tol = F.col("_m_rt").isNotNull()
+
+    return matched.select(
+        *left_cols,
+        *[
+            F.when(in_tol, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
