@@ -968,12 +968,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsfresh_spark.operators.asof import asof_join
 
     ev = _events_long(spark, sf_dir)
+    # microsecond precision: second-level truncation would alias distinct
+    # events into ties and make the as-of match ambiguous
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").cast("timestamp").cast("long").alias("click_ts")
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("click_ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.col("ts").cast("timestamp").cast("long").alias("purchase_ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts"),
         F.col("v").alias("purchase_v"),
     )
     return asof_join(
@@ -990,11 +992,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ASOF_JOIN = f"""
 WITH base AS ({_BASE_SQL}),
 clicks AS (
-  SELECT user_id, CAST(EPOCH(ts) AS BIGINT) AS click_ts
+  SELECT user_id, EPOCH_US(ts) AS click_ts
   FROM base WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT user_id, CAST(EPOCH(ts) AS BIGINT) AS purchase_ts, v AS purchase_v
+  SELECT user_id, EPOCH_US(ts) AS purchase_ts, v AS purchase_v
   FROM base WHERE event_type = 'purchase'
 )
 SELECT c.user_id, c.click_ts, CAST(p.purchase_v AS BIGINT) AS purchase_v
