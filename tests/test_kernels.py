@@ -490,3 +490,42 @@ def test_sample_entropy_reference_golden():
     )
     assert np.isnan(se(np.array([1, -1, 1, np.nan, 1, -1])))
     assert se(np.arange(1000, dtype=float)) == pytest.approx(0.0010314596066622707)
+
+
+def test_agg_linear_trend_reference_golden():
+    """range(9) in chunks of 3 → per-chunk aggregates fit a perfect line
+    (reference published expectations; ndarray path, default-grid f_aggs)."""
+    param = [
+        {"attr": attr, "chunk_len": 3, "f_agg": f}
+        for f in ["max", "min", "mean"]
+        for attr in ["intercept", "slope"]
+    ]
+    res = dict(k("agg_linear_trend")(np.arange(9), param))
+    assert res['attr_"intercept"__chunk_len_3__f_agg_"max"'] == pytest.approx(2)
+    assert res['attr_"slope"__chunk_len_3__f_agg_"max"'] == pytest.approx(3)
+    assert res['attr_"intercept"__chunk_len_3__f_agg_"min"'] == pytest.approx(0)
+    assert res['attr_"slope"__chunk_len_3__f_agg_"min"'] == pytest.approx(3)
+    assert res['attr_"intercept"__chunk_len_3__f_agg_"mean"'] == pytest.approx(1)
+    assert res['attr_"slope"__chunk_len_3__f_agg_"mean"'] == pytest.approx(3)
+    # chunk_len >= len(x) → NaN
+    res2 = dict(
+        k("agg_linear_trend")(np.arange(3), [{"attr": "slope", "chunk_len": 5, "f_agg": "max"}])
+    )
+    assert np.isnan(res2['attr_"slope"__chunk_len_5__f_agg_"max"'])
+    # NaN input propagates through ndarray chunk aggregation (engine path
+    # passes ndarrays, whose .max does not skip NaN)
+    res3 = dict(
+        k("agg_linear_trend")(
+            np.array([np.nan, np.nan, np.nan, -3.0, -3.0, -3.0]),
+            [{"attr": "slope", "chunk_len": 3, "f_agg": "max"}],
+        )
+    )
+    assert np.isnan(res3['attr_"slope"__chunk_len_3__f_agg_"max"'])
+
+
+def test_cid_ce_normalized_golden():
+    # reference: z-normalized complexity of a ramp
+    x = np.array([-4.33, -1.33, 1.67, 4.67])
+    v = k("cid_ce")(x, normalize=True)
+    # z-devs are ±1.3416, ±0.4472 -> diffs 0.8944 each -> sqrt(3*0.8) = sqrt(2.4)
+    assert v == pytest.approx(np.sqrt(2.4), abs=1e-6)
