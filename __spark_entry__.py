@@ -1007,7 +1007,74 @@ ASOF LEFT JOIN purchases p
 
 
 # ---------------------------------------------------------------------------
-# q23-q24: near-dup detection (no SQL oracle — engine-hash-specific; the
+# q23: distribution checks — symmetry_looking / mean_n_absolute_max /
+# value_count / range_count through the kernel path (all exact)
+# ---------------------------------------------------------------------------
+
+
+def q_distribution_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    long_df = extract_features_tokens(
+        toks,
+        {
+            "symmetry_looking": [{"r": 0.05}, {"r": 0.2}],
+            "mean_n_absolute_max": [{"number_of_maxima": 7}],
+            "value_count": [{"value": 10000}],
+            "range_count": [{"min": 5000, "max": 15000}],
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    short = (
+        F.when(F.col("variable").contains("r_0.05"), F.lit("sym_005"))
+        .when(F.col("variable").contains("r_0.2"), F.lit("sym_02"))
+        .when(F.col("variable").contains("mean_n_absolute_max"), F.lit("m7max"))
+        .when(F.col("variable").contains("value_count"), F.lit("vc10000"))
+        .otherwise(F.lit("rc"))
+    )
+    return (
+        long_df.withColumn("variable", short)
+        .groupBy("user_id", "event_type")
+        .pivot("variable", ["sym_005", "sym_02", "m7max", "vc10000", "rc"])
+        .agg(F.first("value"))
+    )
+
+
+_ORACLE_DISTRIBUTION_CHECKS = f"""
+WITH base AS ({_BASE_SQL}),
+g AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n, SUM(v) AS s, MEDIAN(v) AS med,
+         MIN(v) AS mn, MAX(v) AS mx,
+         SUM(CASE WHEN v = 10000 THEN 1 ELSE 0 END) AS vc,
+         SUM(CASE WHEN v >= 5000 AND v < 15000 THEN 1 ELSE 0 END) AS rc
+  FROM base GROUP BY user_id, event_type
+),
+topk AS (
+  SELECT user_id, event_type, SUM(av) AS top_sum, COUNT(*) AS top_n
+  FROM (
+    SELECT user_id, event_type, ABS(v) AS av,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ABS(v) DESC) AS rk,
+           COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+    FROM base
+  ) WHERE rk <= 7 AND n > 7
+  GROUP BY user_id, event_type
+)
+SELECT g.user_id, g.event_type,
+  CAST(ABS(CAST(g.s AS DOUBLE) / g.n - g.med) < 0.05 * (g.mx - g.mn) AS DOUBLE) AS sym_005,
+  CAST(ABS(CAST(g.s AS DOUBLE) / g.n - g.med) < 0.2 * (g.mx - g.mn) AS DOUBLE) AS sym_02,
+  CAST(t.top_sum AS DOUBLE) / 7 AS m7max,
+  CAST(g.vc AS DOUBLE) AS vc10000,
+  CAST(g.rc AS DOUBLE) AS rc
+FROM g LEFT JOIN topk t USING (user_id, event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24-q25: near-dup detection (no SQL oracle — engine-hash-specific; the
 # driver records the weaker rows-only check, and pytest pins semantics)
 # ---------------------------------------------------------------------------
 
@@ -1074,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_time_reversal": q_lag_products,
         "energy_ratio_chunks": q_energy_ratio,
         "asof_join": q_asof_join,
+        "distribution_checks": q_distribution_checks,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
     }
@@ -1101,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
         "asof_join": _ORACLE_ASOF_JOIN,
+        "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
         # minhash_near_dups / simhash_near_dups: engine-hash-specific —
         # intentionally no SQL oracle (rows-only check); semantics pinned in
         # tests/test_dedup.py
