@@ -529,3 +529,22 @@ def test_cid_ce_normalized_golden():
     v = k("cid_ce")(x, normalize=True)
     # z-devs are ±1.3416, ±0.4472 -> diffs 0.8944 each -> sqrt(3*0.8) = sqrt(2.4)
     assert v == pytest.approx(np.sqrt(2.4), abs=1e-6)
+
+
+def test_count_above_below_nan_inf_golden():
+    """Published reference behaviors for NaN/inf inputs."""
+    ca, cb = k("count_above"), k("count_below")
+    assert ca(np.array([1.0] * 10), t=1) == 1
+    assert ca(np.arange(10), t=0) == 1
+    assert ca(np.arange(10), t=5) == 0.5
+    assert ca(np.array([np.nan, 0, 1] * 3), t=0) == pytest.approx(2 / 3)
+    assert ca(np.array([-np.inf, 0, 1] * 3), t=0) == pytest.approx(2 / 3)
+    assert ca(np.array([np.inf, 0, 1] * 3), t=0) == 1
+    assert cb(np.array([np.nan, 0, 1] * 3), t=1) == pytest.approx(2 / 3)
+    assert cb(np.array([np.inf, 0, 1] * 3), t=1) == pytest.approx(2 / 3)
+
+
+def test_variance_larger_than_std_boundary():
+    # var == 1 exactly → strictly greater is False
+    x = np.array([1.0, 1.0, -1.0, -1.0])
+    assert not bool(k("variance_larger_than_standard_deviation")(x))
