@@ -37,6 +37,20 @@ def _prep(spark: SparkSession) -> None:
         sys.path.insert(0, "/root/repo")
     # timestamp bucketing must agree with the (timezone-naive) DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # executor python workers import tsfresh_spark by name (cloudpickle
+    # serializes module functions by reference): ship the package zip so the
+    # session works regardless of the driver's working directory
+    if not getattr(_prep, "_shipped", None):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_tsfresh_spark_packager", "/root/repo/scripts/package.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        zip_path = mod.main()
+        spark.sparkContext.addPyFile(zip_path)
+        _prep._shipped = zip_path
 
 
 def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
