@@ -38,6 +38,14 @@ def measure(cpus: int) -> dict:
         f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # executors import tsfresh_spark by name — ship the package zip so the
+    # measurement works from any working directory
+    from scripts.package import main as build_zip  # type: ignore
+
+    try:
+        spark.sparkContext.addPyFile(build_zip())
+    except Exception:
+        pass  # already registered in this context
     # fixed partition count for BOTH parallelism levels: identical work
     # units, only the executor-slot count varies (as on a real cluster)
     toks = tokens_corpus(spark, N_DOCS, n_partitions=256).cache()
