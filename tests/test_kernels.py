@@ -60,6 +60,9 @@ GOLDEN_SIMPLE = [
     ("skewness", [1, 1, 1], {}, 0),
     ("kurtosis", [1, 1, 1, 2, 2], {}, -3.333333333333333),
     ("kurtosis", [1, 1, 1, 1], {}, 0),
+    # pandas default skipna=True: NaNs masked, computed over the 5 valid
+    # (pd.Series([1,2,3,4,nan,6]).kurtosis() == -0.021913805697591826)
+    ("kurtosis", [1, 2, 3, 4, np.nan, 6], {}, -0.021913805697591826),
     ("root_mean_square", [1, 1, 1, 2, 2], {}, 1.4832396974191),
     ("root_mean_square", [0], {}, 0),
     ("root_mean_square", [1], {}, 1),
@@ -370,9 +373,52 @@ def test_sample_entropy_matches_definition():
     assert np.isfinite(v) and v > 0
 
 
+def test_sample_entropy_short_and_degenerate_series():
+    """Short/degenerate inputs must return NaN/inf like the reference
+    (feature_calculators.py:1744-1754 numpy 0/0 division), never raise."""
+    se = k("sample_entropy")
+    # n=1..4 non-constant: too few template matches -> B==0 -> nan
+    for n in range(1, 5):
+        x = np.arange(n, dtype=float) * 3.7 + 1
+        assert np.isnan(se(x)), f"n={n}"
+    assert np.isnan(se(np.array([], dtype=float)))
+    # constant n=3: B=2, A=0 -> -log(0) = +inf (matches reference)
+    assert np.isposinf(se(np.ones(3)))
+    # constant n>=4: finite -log(A/B)
+    assert se(np.ones(5)) == pytest.approx(-np.log(6 / 12))
+    # two identical halves, n large enough for matches at both widths
+    x = np.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0])
+    assert np.isfinite(se(x))
+
+
 def test_autocorrelation_lag0_and_constant():
     assert k("autocorrelation")(np.array([1, 2, 1, 2]), 0) == pytest.approx(1.0)
     assert np.isnan(k("autocorrelation")(np.array([1, 1, 1, 1]), 1))
+
+
+def test_partial_autocorrelation_reference_golden():
+    """Published expectations (reference test_feature_calculations.py:282-301).
+
+    lag_1 == -1.0 to 4 places holds ONLY with the adjusted (n-k)
+    autocovariance that statsmodels pacf(method='ld') uses — the biased
+    estimator gives -0.8333, so this pins the estimator choice."""
+    res = dict(
+        k("partial_autocorrelation")(
+            np.array([1, 2, 1, 2, 1, 2], dtype=float),
+            [{"lag": lag} for lag in range(3)],
+        )
+    )
+    assert res["lag_0"] == pytest.approx(1.0, abs=1e-4)
+    assert res["lag_1"] == pytest.approx(-1.0, abs=1e-4)
+    assert np.isnan(res["lag_2"])
+    # linear signal: lag_1 -> 1, lag_2 -> 0 (2 places, as published)
+    res = dict(
+        k("partial_autocorrelation")(
+            np.linspace(0, 1, 3000), [{"lag": lag} for lag in range(3)]
+        )
+    )
+    assert res["lag_1"] == pytest.approx(1.0, abs=1e-2)
+    assert res["lag_2"] == pytest.approx(0.0, abs=1e-2)
 
 
 def test_partial_autocorrelation_ar1():

@@ -55,23 +55,25 @@ def sample_entropy(x):
     m = 2
     tol = 0.2 * np.std(x)
 
-    if 2 <= len(x) <= _CHEB_DENSE_LIMIT:
+    if len(x) <= _CHEB_DENSE_LIMIT:
         mats = _cheb_matrices(x, [m, m + 1])
         B = int((mats[m] <= tol).sum()) - mats[m].shape[0]
         A = int((mats[m + 1] <= tol).sum()) - mats[m + 1].shape[0]
-        with np.errstate(all="ignore"):
-            return -np.log(A / B)
+    else:
 
-    def _count_similar(width):
-        windows = sliding_windows(x, width)
-        total = 0
-        for row in windows:
-            total += np.sum(np.abs(row - windows).max(axis=1) <= tol) - 1
-        return total
+        def _count_similar(width):
+            windows = sliding_windows(x, width)
+            total = 0
+            for row in windows:
+                total += np.sum(np.abs(row - windows).max(axis=1) <= tol) - 1
+            return total
 
-    B = _count_similar(m)
-    A = _count_similar(m + 1)
-    return -np.log(A / B)
+        B = _count_similar(m)
+        A = _count_similar(m + 1)
+    # numpy float division exactly like the reference's A/B on numpy scalars
+    # (feature_calculators.py:1745-1754): 0/0 -> nan, k/0 cannot occur (A<=B)
+    with np.errstate(all="ignore"):
+        return float(-np.log(np.float64(A) / np.float64(B)))
 
 
 @kernel("approximate_entropy", "simple", high_comp_cost=True)

@@ -282,28 +282,33 @@ def welch_psd(x: np.ndarray, nperseg: int | None = None) -> np.ndarray:
 def levinson_durbin_pacf(x: np.ndarray, nlags: int) -> np.ndarray:
     """Partial autocorrelation via the Levinson-Durbin recursion.
 
-    Classic recursion on the biased sample autocovariance of the demeaned
-    series; same estimator family as the reference's
-    ``pacf(x, method="ld")`` call (feature_calculators.py:490).  Returns
+    Recursion on the *adjusted* sample autocovariance (divide by n - k) of
+    the demeaned series — statsmodels ``pacf(x, method="ld")`` routes
+    through ``acovf(x, adjusted=True)`` before ``levinson_durbin``; the
+    reference calls exactly that (feature_calculators.py:490).  Returns
     ``nlags + 1`` values with pacf[0] == 1.
     """
     x = np.asarray(x, dtype=float)
     n = len(x)
     s = x - x.mean()
     acov = np.array(
-        [np.dot(s[: n - k], s[k:]) / n for k in range(nlags + 1)], dtype=float
+        [np.dot(s[: n - k], s[k:]) / (n - k) for k in range(nlags + 1)],
+        dtype=float,
     )
     if acov[0] == 0:
         return np.full(nlags + 1, np.nan)
     phi = np.zeros((nlags + 1, nlags + 1))
     sig = np.zeros(nlags + 1)
-    phi[1, 1] = acov[1] / acov[0]
-    sig[1] = acov[0] - phi[1, 1] * acov[1]
-    for k in range(2, nlags + 1):
-        phi[k, k] = (acov[k] - np.dot(phi[1:k, k - 1], acov[1:k][::-1])) / sig[k - 1]
-        for j in range(1, k):
-            phi[j, k] = phi[j, k - 1] - phi[k, k] * phi[k - j, k - 1]
-        sig[k] = sig[k - 1] * (1 - phi[k, k] ** 2)
+    with np.errstate(all="ignore"):
+        phi[1, 1] = acov[1] / acov[0]
+        sig[1] = acov[0] - phi[1, 1] * acov[1]
+        for k in range(2, nlags + 1):
+            phi[k, k] = (
+                acov[k] - np.dot(phi[1:k, k - 1], acov[1:k][::-1])
+            ) / sig[k - 1]
+            for j in range(1, k):
+                phi[j, k] = phi[j, k - 1] - phi[k, k] * phi[k - j, k - 1]
+            sig[k] = sig[k - 1] * (1 - phi[k, k] ** 2)
     pacf = np.empty(nlags + 1)
     pacf[0] = 1.0
     for k in range(1, nlags + 1):

@@ -127,13 +127,15 @@ def skewness(x):
 @kernel("kurtosis", "simple", input="series")
 def kurtosis(x):
     """Adjusted Fisher-Pearson G2 — pandas sample kurtosis
-    (feature_calculators.py:766-778).  Replica of pandas nankurt:
-    n(n+1)(n-1)·m4 / ((n-2)(n-3)·m2²) − 3(n-1)²/((n-2)(n-3)), n<4 → NaN."""
+    (feature_calculators.py:766-778).  Replica of pandas nankurt with its
+    default skipna=True (NaNs masked out, n = valid count):
+    n(n+1)(n-1)·m4 / ((n-2)(n-3)·m2²) − 3(n-1)²/((n-2)(n-3)), n<4 → NaN.
+    Note skewness deliberately differs: the reference passes skipna=False
+    there (feature_calculators.py:761)."""
     v = np.asarray(x, dtype=float)
+    v = v[~np.isnan(v)]
     n = len(v)
     if n < 4:
-        return np.nan
-    if np.isnan(v).any():
         return np.nan
     d = v - v.mean()
     m2 = np.sum(d**2)
