@@ -68,6 +68,50 @@ def test_forward(spark, frames):
     assert pd.isna(out.loc[("a", 20), "v_asof"])  # nothing after
 
 
+def test_multi_value_cols_with_nulls_stay_row_atomic(spark):
+    """A NULL in one value column must NOT be forward-filled from an older
+    right row — all matched columns come from the single as-of row."""
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20)], "key string, lt long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0, 100.0), ("a", 15, None, 200.0)],
+        "key string, rt long, u double, v double",
+    )
+    out = (
+        asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            value_cols=["u", "v"],
+        )
+        .toPandas()
+        .set_index(["key", "lt"])
+    )
+    # lt=10 matches rt=5 entirely
+    assert out.loc[("a", 10), "u_asof"] == 1.0
+    assert out.loc[("a", 10), "v_asof"] == 100.0
+    # lt=20 matches rt=15: u is NULL there and must STAY NULL (not 1.0)
+    assert pd.isna(out.loc[("a", 20), "u_asof"])
+    assert out.loc[("a", 20), "v_asof"] == 200.0
+
+
+def test_tolerance_gate_uses_matched_row_time(spark):
+    """With a NULL value in the newest in-tolerance right row, the gap is
+    still measured against THAT row, and the value stays NULL rather than
+    resurrecting an out-of-tolerance older value."""
+    left = spark.createDataFrame([("a", 20)], "key string, lt long")
+    right = spark.createDataFrame(
+        [("a", 5, 50.0), ("a", 19, None)], "key string, rt long, v double"
+    )
+    out = (
+        asof_join(
+            left, right, on=["key"], left_time="lt", right_time="rt",
+            value_cols=["v"], tolerance=3,
+        )
+        .toPandas()
+    )
+    assert pd.isna(out.v_asof.iloc[0])
+
+
 def test_matches_duckdb_asof(spark):
     rng = np.random.RandomState(17)
     lpdf = pd.DataFrame(

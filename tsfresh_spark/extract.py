@@ -119,6 +119,7 @@ class _CompiledPlan:
 
 
 _PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 64  # bound: ad-hoc settings dicts must not pin memory
 
 
 def _get_plan(settings: dict, kind: str) -> _CompiledPlan:
@@ -126,6 +127,10 @@ def _get_plan(settings: dict, kind: str) -> _CompiledPlan:
     hit = _PLAN_CACHE.get(key)
     if hit is None or hit[0] is not settings:
         hit = (settings, _CompiledPlan(settings, kind))
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            # evict oldest insertion (dict preserves order) — plain FIFO is
+            # enough: the hot path reuses one settings dict per extraction
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = hit
     return hit[1]
 

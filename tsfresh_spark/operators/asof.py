@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -36,20 +37,30 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     left_cols = [c for c in left.columns]
+    # All right payload travels as ONE struct so a single
+    # last/first(ignorenulls=True) picks the whole matched row atomically —
+    # per-column fills could mix columns from different right rows whenever a
+    # value column holds NULL, and the tolerance gate would then use a _rt
+    # that doesn't belong to every value.
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("_rt", right.schema[right_time].dataType)]
+    )
     l = left.select(
         *left_cols,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+        F.lit(None).cast(payload_type).alias("_r"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
         *on,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_time).alias("_rt"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_time).alias("_rt"),
+        ).alias("_r"),
     ).select(*l.columns)
     u = l.unionByName(r)
 
@@ -60,35 +71,34 @@ def asof_join(
             .orderBy(F.asc("_t"), F.asc("_side"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)
+        picked = F.last("_r", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*on)
             .orderBy(F.asc("_t"), F.desc("_side"))
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)
+        picked = F.first("_r", ignorenulls=True).over(w)
 
-    matched = u.select(
-        *u.columns,
-        *[pick(f"_r_{c}").alias(f"_m_{c}") for c in value_cols],
-        pick("_rt").alias("_m_rt"),
-    ).filter(F.col("_side") == 1)
+    matched = u.select(*u.columns, picked.alias("_m")).filter(
+        F.col("_side") == 1
+    )
 
+    rt = F.col("_m")["_rt"]
     if tolerance is not None:
         gap = (
-            (F.col("_t") - F.col("_m_rt"))
+            (F.col("_t") - rt)
             if direction == "backward"
-            else (F.col("_m_rt") - F.col("_t"))
+            else (rt - F.col("_t"))
         )
-        in_tol = F.col("_m_rt").isNotNull() & (gap <= F.lit(tolerance))
+        in_tol = rt.isNotNull() & (gap <= F.lit(tolerance))
     else:
-        in_tol = F.col("_m_rt").isNotNull()
+        in_tol = rt.isNotNull()
 
     return matched.select(
         *left_cols,
         *[
-            F.when(in_tol, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
+            F.when(in_tol, F.col("_m")[c]).alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )

@@ -109,13 +109,23 @@ def stateful_feature_stream(
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle series: drop its buffer instead of re-saving it forever
+            state.remove()
+            return
         if state.exists:
             ts_buf, val_buf = state.get
             ts_buf, val_buf = list(ts_buf), list(val_buf)
         else:
             ts_buf, val_buf = [], []
         for pdf in pdfs:
-            ts_buf.extend(pdf[ts_col].astype("int64") // 10**9)
+            col = pdf[ts_col]
+            if pd.api.types.is_datetime64_any_dtype(col):
+                # datetime64[ns] → epoch seconds; integer/long ts columns
+                # are already in their own epoch unit and pass through
+                ts_buf.extend(col.astype("int64") // 10**9)
+            else:
+                ts_buf.extend(col.astype("int64"))
             val_buf.extend(pdf[value_col].astype(float))
         order = np.argsort(np.asarray(ts_buf), kind="mergesort")[-max_buffer:]
         ts_arr = np.asarray(ts_buf, dtype=np.int64)[order]
