@@ -1088,9 +1088,16 @@ FROM g LEFT JOIN topk t USING (user_id, event_type)
 
 
 # ---------------------------------------------------------------------------
-# q24-q25: near-dup detection (no SQL oracle — engine-hash-specific; the
-# driver records the weaker rows-only check, and pytest pins semantics)
+# q24-q25: near-dup detection — the engine's "portable" hash family (md5
+# base values + universal hashes, raw-tuple band keys) is replicated
+# verbatim in DuckDB SQL, so both pipelines are compared bit-for-bit
+# including the LSH banding and hot-bucket caps.
 # ---------------------------------------------------------------------------
+
+_MINHASH_CAP = 64  # hot-bucket guard for the minhash band join
+_SIMHASH_CAP = 256  # hot-chunk guard for the simhash join
+_MINHASH_THRESHOLD = 0.5
+_SIMHASH_MAX_HAMMING = 10
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,8 +1105,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsfresh_spark.operators.dedup import minhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_near_duplicates(
-        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    out = minhash_near_duplicates(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        threshold=_MINHASH_THRESHOLD,
+        max_bucket_size=_MINHASH_CAP,
+        hash_family="portable",
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("jaccard").cast("double"),
     )
 
 
@@ -1108,9 +1126,116 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsfresh_spark.operators.dedup import simhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_duplicates(
-        docs, text_col="text", id_col="doc_id", max_hamming=10
+    out = simhash_near_duplicates(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        max_bucket_size=_SIMHASH_CAP,
+        hash_family="portable",
     )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of the portable minhash-LSH pipeline (same constants,
+    same banding, same cap, same exact-Jaccard verify)."""
+    import sys
+
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
+    from tsfresh_spark.operators.dedup import minhash_coefficients
+
+    A, B = minhash_coefficients(64)
+    a_sql = "[" + ",".join(str(v) for v in A) + "]"
+    b_sql = "[" + ",".join(str(v) for v in B) + "]"
+    bucket = "concat_ws(',', sg[4*i-3], sg[4*i-2], sg[4*i-1], sg[4*i])"
+    return f"""
+WITH consts AS (SELECT {a_sql} AS ca, {b_sql} AS cb),
+w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingles
+  FROM w
+),
+bs AS (
+  SELECT doc_id, shingles,
+    [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 for s in shingles] AS bases
+  FROM sh WHERE len(shingles) > 0
+),
+sig AS (
+  SELECT doc_id,
+    [list_min([(ca[i] * b + cb[i]) % 2147483647 for b in bases]) for i in range(1, 65)] AS sg
+  FROM bs, consts
+),
+bands AS (
+  SELECT doc_id, i - 1 AS band, {bucket} AS bucket
+  FROM sig, (SELECT unnest(range(1, 17)) AS i)
+),
+keep AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING count(*) BETWEEN 2 AND {_MINHASH_CAP}
+),
+kept AS (SELECT b.* FROM bands b JOIN keep USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM kept l JOIN kept r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+FROM cand c
+JOIN sh a ON c.id_a = a.doc_id
+JOIN sh b ON c.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+    >= {_MINHASH_THRESHOLD}
+"""
+
+
+_ORACLE_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    [CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) for x in ws] AS hs
+  FROM w WHERE len(ws) > 0
+),
+fp AS (
+  SELECT doc_id, CAST(list_sum([
+      CASE WHEN list_sum([CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+    for j in range(0, 60)]) AS BIGINT) AS simhash
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (15*i)) & 32767 AS chunk
+  FROM fp, (SELECT unnest(range(0, 4)) AS i)
+),
+keep AS (
+  SELECT chunk_idx, chunk FROM chunks GROUP BY chunk_idx, chunk
+  HAVING count(*) BETWEEN 2 AND {_SIMHASH_CAP}
+),
+kept AS (SELECT c.* FROM chunks c JOIN keep USING (chunk_idx, chunk)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+  FROM kept l JOIN kept r
+    ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1184,7 +1309,6 @@ def oracle_sql() -> dict[str, str]:
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
-        # minhash_near_dups / simhash_near_dups: engine-hash-specific —
-        # intentionally no SQL oracle (rows-only check); semantics pinned in
-        # tests/test_dedup.py
+        "minhash_near_dups": _minhash_oracle_sql(),
+        "simhash_near_dups": _ORACLE_SIMHASH,
     }

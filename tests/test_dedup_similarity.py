@@ -82,6 +82,52 @@ def test_simhash_near_duplicates(spark, corpus):
     assert hamming01 == 0
 
 
+def test_portable_family_same_semantics(spark, corpus):
+    """The md5-based portable hash family finds the same duplicate structure
+    as the xxhash64 family (different buckets, same verified truths)."""
+    pairs = minhash_near_duplicates(
+        corpus, threshold=0.5, hash_family="portable", max_bucket_size=64
+    ).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found
+    assert (0, 2) in found or (1, 2) in found
+    fp = simhash(corpus, hash_family="portable").toPandas().set_index("doc_id")
+    assert fp.loc[0, "simhash"] == fp.loc[1, "simhash"]
+    assert (fp.simhash >= 0).all() and (fp.simhash < 2**60).all()
+
+
+def test_bucket_cap_bounds_candidate_fanout(spark):
+    """A hot bucket (here 200 identical docs) must not explode into ~20k
+    candidate pairs when capped: the cap drops buckets above the threshold
+    and lsh_bucket_report surfaces what was dropped."""
+    from tsfresh_spark.operators.dedup import lsh_bucket_report
+
+    docs = [(i, "the same boilerplate text repeated again and again forever") for i in range(200)]
+    docs += [(200 + i, _sentence(np.random.RandomState(i), 40)) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, hash_family="portable")
+    uncapped = lsh_candidate_pairs(sigs, hash_family="portable").count()
+    assert uncapped >= 200 * 199 / 2  # the explosion the cap prevents
+    capped = lsh_candidate_pairs(
+        sigs, hash_family="portable", max_bucket_size=50
+    )
+    assert capped.count() < 500
+    report = lsh_bucket_report(
+        sigs, hash_family="portable", max_bucket_size=50
+    ).toPandas()
+    assert len(report) >= 16  # the boilerplate bucket in every band
+    assert (report["size"] == 200).all()
+    # simhash side: same guard
+    capped_sim = simhash_near_duplicates(
+        df, max_hamming=10, max_bucket_size=50, hash_family="portable"
+    ).toPandas()
+    boiler = [
+        (a, b) for a, b in zip(capped_sim.id_a, capped_sim.id_b)
+        if a < 200 and b < 200
+    ]
+    assert boiler == []  # the 200-doc chunk bucket was dropped
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(9)

@@ -15,8 +15,32 @@ pairs.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# --- portable hash family -------------------------------------------------
+# Engine-independent hashing so the whole near-dup pipeline is replicable
+# bit-for-bit in any SQL engine with md5 (DuckDB serves as the correctness
+# oracle): a shingle's base value is the first 60 bits of its md5 digest,
+# and the i-th minhash function is the classic universal hash
+# (a_i * base + b_i) mod p over the 31-bit Mersenne prime.  Coefficients
+# come from a fixed seed so both sides embed the same literals.
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime): products stay < 2^62
+
+
+def minhash_coefficients(num_hashes: int = 64) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(0)
+    a = rng.randint(1, _MINHASH_P, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, _MINHASH_P, size=num_hashes).astype(np.int64)
+    return a.tolist(), b.tolist()
+
+
+def _base60(col):
+    """First 60 bits of md5 as a positive BIGINT — identical in Spark
+    (conv(substring(md5), 16, 10)) and DuckDB (cast('0x'||substr(md5)))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_duplicates(
@@ -41,9 +65,16 @@ def exact_duplicates(
     )
 
 
+def _words(text_col: str):
+    """Whitespace tokens with empties dropped (leading/trailing whitespace
+    would otherwise yield '' — engines disagree on that, the filter makes
+    the token list portable)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
 def _shingles(text_col: str, n: int):
     """Word n-gram shingle array (distinct), built JVM-side."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = _words(text_col)
     if n == 1:
         return F.array_distinct(words)
     return F.array_distinct(
@@ -67,14 +98,44 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: for hash function i, the minimum of
-    ``xxhash64(shingle, seed=i)`` over the doc's shingle set.
+    """MinHash signature per doc.
 
-    Entirely in Catalyst: transform + aggregate over the shingle array, one
-    row per doc, no shuffle.
+    ``hash_family="xxhash64"`` (fast path): hash function i is
+    ``xxhash64(shingle, seed=i)``.  ``hash_family="portable"``: the md5-based
+    universal-hash family above — same signatures reproducible in any SQL
+    engine, used by the correctness oracle.  Both run entirely in Catalyst:
+    transform + aggregate over the shingle array, one row per doc, no
+    shuffle.
     """
     sh = _shingles(text_col, shingle_n).alias("shingles")
+    if hash_family == "portable":
+        # one md5 per shingle, then 64 cheap affine passes over the bases
+        staged = (
+            df.select(F.col(id_col), sh)
+            # docs too short to shingle have no signature (and no Jaccard)
+            .filter(F.size("shingles") > 0)
+            .select(
+                id_col,
+                F.transform(
+                    F.col("shingles"), lambda s: _base60(s) % _MINHASH_P
+                ).alias("bases"),
+            )
+        )
+        A, B = minhash_coefficients(num_hashes)
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("bases"),
+                        lambda x: (F.lit(A[i]) * x + F.lit(B[i])) % _MINHASH_P,
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("minhash")
+        return staged.select(id_col, sig)
     # 64 independent streaming min-passes beat a single zip_with fold here
     # (the fold allocates a 64-wide accumulator array per shingle; measured
     # 21s vs 16s on the sf0.1 corpus)
@@ -89,34 +150,84 @@ def minhash_signatures(
     return df.select(F.col(id_col), sh).select(id_col, sig)
 
 
+def _banded(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, band, bucket) rows.  Fast family compacts the bucket key to a
+    64-bit hash; portable keeps the raw signature tuple string so any engine
+    reproduces the buckets."""
+    key = lambda b: F.concat_ws(
+        ",",
+        *[
+            F.col("minhash")[b * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)
+        ],
+    )
+    buckets = [
+        key(b) if hash_family == "portable" else F.xxhash64(key(b)).cast("string")
+        for b in range(num_bands)
+    ]
+    return signatures.select(
+        id_col, F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Guard against hot buckets (boilerplate/empty docs): drop any
+    (band, bucket) with more than ``max_bucket_size`` members before the
+    self-join — a 10^6-member bucket would otherwise fan out to 10^12
+    candidate rows in one task.  Partial-aggregated counts (safe at any
+    skew) joined back on the same shuffle key; singleton buckets are also
+    dropped (they can't produce pairs).  Use :func:`lsh_bucket_report` to
+    see what was dropped."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    keep = sizes.filter(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket_size)
+    ).select("band", "bucket")
+    return banded.join(keep, ["band", "bucket"])
+
+
+def lsh_bucket_report(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1024,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(band, bucket, size) of buckets the cap would drop — the 'logged
+    warning' side-channel of the cap, computed lazily as a DataFrame so the
+    pipeline itself stays one job."""
+    banded = _banded(signatures, id_col, num_bands, rows_per_band, hash_family)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket_size)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a candidate
-    pair.  Shuffle key = (band, bucket-hash); pair fan-out bounded by bucket
-    sizes, never O(n²)."""
-    banded = signatures.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    pair.  Shuffle key = (band, bucket); pair fan-out bounded by
+    ``max_bucket_size`` (hot-bucket guard), never O(n²)."""
+    banded = _cap_buckets(
+        _banded(signatures, id_col, num_bands, rows_per_band, hash_family),
+        max_bucket_size,
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -148,16 +259,17 @@ def jaccard_verify(
     sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    # |A ∪ B| as |A|+|B|-|A∩B|: pure integer arithmetic, so the double
+    # division is bit-identical across engines (oracle replicates it)
+    union = F.size("a.sh") + F.size("b.sh") - inter
     joined = (
         pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
         .join(b, pairs.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
     )
     return joined.filter(F.col("jaccard") >= threshold)
@@ -172,6 +284,8 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
     Jaccard verification at ``threshold``."""
@@ -182,9 +296,15 @@ def minhash_near_duplicates(
         id_col=id_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
+        hash_family=hash_family,
     )
     pairs = lsh_candidate_pairs(
-        sigs, id_col=id_col, num_bands=num_bands, rows_per_band=rows_per_band
+        sigs,
+        id_col=id_col,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+        hash_family=hash_family,
     )
     return jaccard_verify(
         df,
@@ -197,34 +317,48 @@ def minhash_near_duplicates(
 
 
 def simhash(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over word unigrams: bit b of the fingerprint is the
-    sign of the sum over words of ±1 according to bit b of xxhash64(word).
+    """SimHash over word unigrams: bit b of the fingerprint is the sign of
+    the sum over words of ±1 according to bit b of the word hash.
 
-    Expressed as an aggregate over the word array per row (no shuffle).
+    ``xxhash64`` family → 64-bit fingerprint; ``portable`` family → 60-bit
+    fingerprint from the md5 base (always positive, so shifts/bit ops are
+    identical in every engine — that is what makes the DuckDB oracle
+    possible).  Expressed as an aggregate over the word array per row (no
+    shuffle).
     """
-    words = F.array_distinct(F.split(F.col(text_col), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # single pass: fold each word hash into a 64-wide ±1 counter array,
-    # then assemble the sign bits (same totals as 64 separate aggregates —
+    nbits = 60 if hash_family == "portable" else 64
+    words = F.array_distinct(_words(text_col))
+    if hash_family == "portable":
+        df = df.filter(F.size(_words(text_col)) > 0)
+        hashes = F.transform(words, lambda w: _base60(w))
+        masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
+    else:
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
+        masks = F.array(
+            *[F.lit(1 << b).cast("long") for b in range(63)],
+            F.lit(-(1 << 63)).cast("long"),  # bit 63 == the sign bit
+        )
+    # single pass: fold each word hash into an nbits-wide ±1 counter array,
+    # then assemble the sign bits (same totals as nbits separate aggregates —
     # integer sums are order-free — with one expression tree)
-    masks = F.array(
-        *[F.lit(1 << b).cast("long") for b in range(63)],
-        F.lit(-(1 << 63)).cast("long"),  # bit 63 == the sign bit
-    )
     bit_votes = lambda h: F.transform(
         masks,
         lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
     )
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), nbits),
         lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
     )
     staged = df.select(F.col(id_col), counts.alias("_counts"))
     fingerprint = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         bit = (
             F.when(F.element_at(F.col("_counts"), b + 1) > 0, F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
@@ -239,25 +373,40 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4 × 16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal), join on
-    chunk equality, verify hamming distance via bit_count(xor)."""
-    fp = simhash(df, text_col=text_col, id_col=id_col)
+    """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal; above 3 the
+    banding is a recall heuristic), join on chunk equality, verify hamming
+    distance via bit_count(xor).  ``max_bucket_size`` drops hot chunks
+    (same guard as the minhash band join)."""
+    nbits = 60 if hash_family == "portable" else 64
+    chunk_bits = nbits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    fp = simhash(df, text_col=text_col, id_col=id_col, hash_family=hash_family)
     chunks = fp.select(
         id_col,
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    F.shiftrightunsigned("simhash", chunk_bits * i)
+                    .bitwiseAND(F.lit(chunk_mask).cast("long"))
                     .alias(f"c{i}")
                     for i in range(4)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_bucket_size is not None:
+        sizes = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.count("*").alias("_bsz")
+        )
+        keep = sizes.filter(
+            (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket_size)
+        ).select("chunk_idx", "chunk")
+        chunks = chunks.join(keep, ["chunk_idx", "chunk"])
     left = chunks.alias("l")
     right = chunks.alias("r")
     pairs = (

@@ -99,15 +99,19 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     seed: int = 42,
     round_digits: int | None = 6,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``n_lists`` cells; each query scans only its
     ``n_probe`` nearest cells with exact cosine re-ranking.
 
     The classic FAISS-style scale recipe on Spark primitives: the quantizer
-    trains on Spark ML KMeans (one pass over a sample), cell assignment is a
-    broadcast centroid crossjoin, and candidate scoring shuffles only on the
-    small (cell) key — corpus never self-joins.
+    trains on a bounded sample (``max_train_rows``, seeded — centroid
+    quality does not need the full corpus, and KMeans is iterative so an
+    unbounded train set would mean multi-pass jobs over 100 TB before any
+    query runs), cell assignment is a broadcast centroid crossjoin, and
+    candidate scoring shuffles only on the small (cell) key — corpus never
+    self-joins.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -120,7 +124,14 @@ def cosine_topk_ivf(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qemb"),
     )
-    train = c.select(array_to_vector("emb").alias("features"))
+    n_corpus = c.count()
+    train = c
+    if n_corpus > max_train_rows:
+        # sample ~2x the target then hard-cap with limit (sample fraction is
+        # approximate); seeded for reproducible centroids
+        frac = min(1.0, 2.0 * max_train_rows / n_corpus)
+        train = c.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    train = train.select(array_to_vector("emb").alias("features"))
     model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
