@@ -1088,6 +1088,85 @@ FROM g LEFT JOIN topk t USING (user_id, event_type)
 
 
 # ---------------------------------------------------------------------------
+# q26: linear_trend_timewise through the real extraction path — hourly
+# rollup per series, then the DatetimeIndex (hours-elapsed) regression.
+# Hour-aligned buckets make the time axis integral, so slope/intercept/r
+# replicate in SQL; round(6) absorbs sum-order float noise.
+# ---------------------------------------------------------------------------
+
+
+def q_timewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.extract import extract_features_long
+
+    ev = _events_long(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("v").alias("hv"))
+    long_df = hourly.select(
+        F.col("user_id").alias("id"),
+        F.col("event_type").alias("kind"),
+        F.col("h").alias("time"),
+        F.col("hv").cast("double").alias("value"),
+    )
+    feats = extract_features_long(
+        long_df,
+        {
+            "linear_trend_timewise": [
+                {"attr": "slope"},
+                {"attr": "intercept"},
+                {"attr": "rvalue"},
+            ]
+        },
+    )
+    return feats.select(
+        F.col("id").cast("long").alias("user_id"),
+        F.col("kind").alias("event_type"),
+        "variable",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_ORACLE_TIMEWISE_TREND = f"""
+WITH base AS ({_BASE_SQL}),
+hourly AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS h, SUM(v) AS hv
+  FROM base GROUP BY user_id, event_type, h
+),
+t AS (
+  SELECT user_id, event_type,
+    CAST(epoch(h) - MIN(epoch(h)) OVER (PARTITION BY user_id, event_type)
+         AS DOUBLE) / 3600 AS th,
+    CAST(hv AS DOUBLE) AS v
+  FROM hourly
+),
+g AS (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    AVG(th) AS mt, AVG(v) AS mv,
+    COVAR_POP(th, v) AS sxy, VAR_POP(th) AS sxx, VAR_POP(v) AS syy,
+    CORR(th, v) AS r
+  FROM t GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+  event_type || '__linear_trend_timewise__attr_"slope"' AS variable,
+  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(sxy / sxx, 6) END AS value
+FROM g
+UNION ALL
+SELECT user_id, event_type,
+  event_type || '__linear_trend_timewise__attr_"intercept"',
+  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(mv - (sxy / sxx) * mt, 6) END
+FROM g
+UNION ALL
+SELECT user_id, event_type,
+  event_type || '__linear_trend_timewise__attr_"rvalue"',
+  CASE WHEN n < 2 OR sxx = 0 THEN NULL
+       WHEN syy = 0 THEN 0.0
+       ELSE ROUND(LEAST(1.0, GREATEST(-1.0, r)), 6) END
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # q24-q25: near-dup detection — the engine's "portable" hash family (md5
 # base values + universal hashes, raw-tuple band keys) is replicated
 # verbatim in DuckDB SQL, so both pipelines are compared bit-for-bit
@@ -1283,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_checks": q_distribution_checks,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "timewise_trend_hourly": q_timewise_trend,
     }
 
 
@@ -1311,4 +1391,5 @@ def oracle_sql() -> dict[str, str]:
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _ORACLE_SIMHASH,
+        "timewise_trend_hourly": _ORACLE_TIMEWISE_TREND,
     }

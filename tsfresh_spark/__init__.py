@@ -23,8 +23,10 @@ only the calculator kernels cross the Arrow boundary, batched.
 from tsfresh_spark.settings import (  # noqa: F401
     comprehensive_settings,
     efficient_settings,
+    index_based_settings,
     minimal_settings,
     settings_from_feature_names,
+    time_based_settings,
 )
 from tsfresh_spark.extract import (  # noqa: F401
     extract_features_long,

@@ -108,13 +108,11 @@ def extract_media_features(
             if not len(pdf):
                 continue
             rows = []
-            for _, row in pdf.iterrows():
-                media = (
-                    dict(row[media_col])
-                    if not isinstance(row[media_col], dict)
-                    else row[media_col]
-                )
-                signal = decoder(bytes(row[payload_col]), media)
+            for rid, payload, m in zip(
+                pdf[id_col].values, pdf[payload_col].values, pdf[media_col].values
+            ):
+                media = m if isinstance(m, dict) else dict(m)
+                signal = decoder(bytes(payload), media)
                 feats = (
                     dict(
                         compute_series_features(
@@ -126,7 +124,7 @@ def extract_media_features(
                 )
                 rows.append(
                     {
-                        id_col: row[id_col],
+                        id_col: rid,
                         "n_samples": len(signal),
                         "features": feats,
                     }
@@ -158,17 +156,17 @@ def resize_image_batch(
             if not len(pdf):
                 continue
             rows = []
-            for _, row in pdf.iterrows():
-                media = dict(row[media_col])
+            for rid, payload, m in zip(
+                pdf[id_col].values, pdf[payload_col].values, pdf[media_col].values
+            ):
+                media = m if isinstance(m, dict) else dict(m)
                 h = int(media.get("height") or 8)
                 w = int(media.get("width") or 8)
-                img = decoder(bytes(row[payload_col]), media).reshape(h, w)
+                img = decoder(bytes(payload), media).reshape(h, w)
                 yi = (np.arange(th) * h // th).astype(int)
                 xi = (np.arange(tw) * w // tw).astype(int)
                 resized = img[yi[:, None], xi[None, :]]
-                rows.append(
-                    {id_col: row[id_col], "pixels": resized.ravel().tolist()}
-                )
+                rows.append({id_col: rid, "pixels": resized.ravel().tolist()})
             yield pd.DataFrame(rows)
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -193,13 +191,15 @@ def sample_video_frames(
             if not len(pdf):
                 continue
             rows = []
-            for _, row in pdf.iterrows():
-                media = dict(row[media_col])
-                frames = decoder(bytes(row[payload_col]), media)
+            for rid, payload, m in zip(
+                pdf[id_col].values, pdf[payload_col].values, pdf[media_col].values
+            ):
+                media = m if isinstance(m, dict) else dict(m)
+                frames = decoder(bytes(payload), media)
                 kept = frames[::every_n]
                 rows.append(
                     {
-                        id_col: row[id_col],
+                        id_col: rid,
                         "frame_idx": list(range(0, len(frames), every_n)),
                         "frames": kept.tolist(),
                     }

@@ -172,6 +172,31 @@ def efficient_settings() -> dict:
     }
 
 
+def index_based_settings() -> dict:
+    """Only calculators that take a pd.Series (index-aware) input —
+    skewness, kurtosis, percentage_of_reoccurring_datapoints_to_all_
+    datapoints, linear_trend_timewise.  Mirrors the reference's
+    ``IndexBasedFCParameters`` (settings.py:346-361: keep entries whose
+    calculator has input == "pd.Series")."""
+    return {
+        name: params
+        for name, params in comprehensive_settings().items()
+        if KERNELS[name].input == "series"
+    }
+
+
+def time_based_settings() -> dict:
+    """Only calculators that require a DatetimeIndex —
+    linear_trend_timewise.  Mirrors the reference's
+    ``TimeBasedFCParameters`` (settings.py:364-376: keep entries whose
+    calculator has index_type == pd.DatetimeIndex)."""
+    return {
+        name: params
+        for name, params in comprehensive_settings().items()
+        if KERNELS[name].requires_timestamps
+    }
+
+
 def settings_from_feature_names(columns, columns_to_ignore=None) -> dict:
     """Reconstruct ``{kind: settings}`` from feature column names, enabling
     "extract exactly these features" replays (reference settings.py:23-83)."""

@@ -63,15 +63,6 @@ def tokens_corpus(
     )
 
 
-def tokens_corpus_numpy(doc_ids: list[str], *, min_len=16, max_len=2048):
-    """Driver-side replica of :func:`tokens_corpus` content for oracle checks
-    in tests — must produce byte-identical arrays for the same doc_id."""
-    raise NotImplementedError(
-        "content replication is validated through Spark itself; "
-        "see tests/test_sources.py round-trip assertions"
-    )
-
-
 def random_walks(
     spark: SparkSession,
     num_ids: int,
