@@ -157,13 +157,66 @@ GOLDEN_SIMPLE = [
     ("range_count", list(range(10)), {"min": 0, "max": 9}, 9),
     ("lempel_ziv_complexity", [1, 1, 1], {"bins": 2}, 2.0 / 3),
     ("lempel_ziv_complexity", [1, 1, 1], {"bins": 5}, 2.0 / 3),
+    # published cases, reference test_feature_calculations.py:432-461
+    ("lempel_ziv_complexity", [1, 1, 1, 1, 1, 1, 1], {"bins": 2}, 0.4285714285),
+    ("lempel_ziv_complexity", [1, 1, 1, 2, 1, 1, 1], {"bins": 2}, 0.5714285714),
+    (
+        "lempel_ziv_complexity",
+        [-1, 4.3, 5, 1, -4.5, 1, 5, 7, -3.4, 6],
+        {"bins": 10},
+        0.8,
+    ),
+    (
+        "lempel_ziv_complexity",
+        [-1, np.nan, 5, 1, -4.5, 1, 5, 7, -3.4, 6],
+        {"bins": 10},
+        0.4,
+    ),
+    ("lempel_ziv_complexity", np.linspace(0, 1, 10).tolist(), {"bins": 3}, 0.6),
+    ("lempel_ziv_complexity", [1, 1, 2, 3, 4, 5, 6, 0, 7, 8], {"bins": 3}, 0.6),
     ("fourier_entropy", [1, 2, 1], {"bins": 2}, 0.693147180),
     ("fourier_entropy", [1, 2, 1], {"bins": 5}, 0.693147180),
+    # Welch-PSD-dependent published values (test_feature_calculations.py:
+    # 463-487) — these pin the welch_psd re-derivation to scipy's output
+    ("fourier_entropy", [1, 1, 2, 1, 1, 1, 1], {"bins": 5}, 0.5623351446188083),
+    ("fourier_entropy", [1, 1, 1, 1, 2, 1, 1], {"bins": 5}, 1.0397207708399179),
+    (
+        "fourier_entropy",
+        [-1, 4.3, 5, 1, -4.5, 1, 5, 7, -3.4, 6],
+        {"bins": 10},
+        1.5607104090414063,
+    ),
     (
         "permutation_entropy",
         [4, 7, 9, 10, 6, 11, 3],
         {"tau": 1, "dimension": 3},
         1.054920167,
+    ),
+    # published cases, test_feature_calculations.py:488-531
+    (
+        "permutation_entropy",
+        [1, -1, 1, -1, 1, -1, 1, -1],
+        {"tau": 1, "dimension": 3},
+        0.6931471805599453,
+    ),
+    (
+        "permutation_entropy",
+        [1, -1, 1, -1, 1, 1, 1, -1],
+        {"tau": 1, "dimension": 3},
+        1.3296613488547582,
+    ),
+    (
+        "permutation_entropy",
+        [-1, 4.3, 5, 1, -4.5, 1, 5, 7, -3.4, 6],
+        {"tau": 2, "dimension": 3},
+        1.0397207708399179,
+    ),
+    # nan is treated like any other number
+    (
+        "permutation_entropy",
+        [-1, 4.3, 5, 1, -4.5, 1, 5, np.nan, -3.4, 6],
+        {"tau": 2, "dimension": 3},
+        1.0397207708399179,
     ),
     ("binned_entropy", [10] * 100, {"max_bins": 10}, 0),
     (
@@ -211,6 +264,9 @@ GOLDEN_NAN = [
     ("ratio_value_number_to_time_series_length", [], {}),
     ("variation_coefficient", [], {}),
     ("absolute_maximum", [], {}),
+    # NaN-bearing series breaks the Welch PSD like the reference
+    # (test_feature_calculations.py:484-486)
+    ("fourier_entropy", [-1, np.nan, 5, 1, -4.5, 1, 5, 7, -3.4, 6], {"bins": 10}),
 ]
 
 
@@ -342,6 +398,46 @@ def test_ar_coefficient():
     assert res["coeff_1__k_1"] == pytest.approx(2.5, abs=1e-2)
 
 
+def test_ar_coefficient_order_two_reference_golden():
+    """Published AR(2) case (reference test_feature_calculations.py:
+    1096-1126): X_i = 3.5 X_{i-1} - 2 X_{i-2} + 1 recovers its own
+    coefficients; coeff beyond k is NaN."""
+    x = [1.0, 1.0] + 5 * [0.0]
+    for i in range(2, len(x)):
+        x[i] = (-2) * x[i - 2] + 3.5 * x[i - 1] + 1
+    param = [{"k": 2, "coeff": c} for c in range(4)]
+    res = dict(k("ar_coefficient")(np.array(x), param))
+    assert res["coeff_0__k_2"] == pytest.approx(1, abs=1e-2)
+    assert res["coeff_1__k_2"] == pytest.approx(3.5, abs=1e-2)
+    assert res["coeff_2__k_2"] == pytest.approx(-2, abs=1e-2)
+    assert np.isnan(res["coeff_3__k_2"])
+
+
+def test_augmented_dickey_fuller_reference_golden():
+    """Published ADF cases (reference test_feature_calculations.py:346-395):
+    a random-drift series keeps H0 (pvalue > 0.10, usedlag 0); an AR(1)
+    with phi=0.5 rejects it (pvalue <= 0.05, usedlag 0)."""
+    rng = np.random.RandomState(42)
+    x = np.cumsum(rng.uniform(size=100))
+    param = [{"attr": a} for a in ["teststat", "pvalue", "usedlag"]]
+    res = dict(k("augmented_dickey_fuller")(x, param))
+    assert res['attr_"pvalue"__autolag_"AIC"'] > 0.10
+    assert res['attr_"usedlag"__autolag_"AIC"'] == 0
+    rng = np.random.RandomState(42)
+    e = rng.normal(0.1, 0.1, size=100)
+    xs = [0.0] * 50
+    xs[0] = 100
+    for i in range(1, 50):
+        xs[i] = xs[i - 1] * 0.5 + e[i]
+    res = dict(k("augmented_dickey_fuller")(np.array(xs), param))
+    assert res['attr_"pvalue"__autolag_"AIC"'] <= 0.05
+    assert res['attr_"usedlag"__autolag_"AIC"'] == 0
+    # error paths return NaN (all-NaN series, empty series)
+    for bad in (np.full(100, np.nan), np.array([])):
+        for _, val in k("augmented_dickey_fuller")(bad, param):
+            assert np.isnan(val)
+
+
 def test_linear_trend():
     param = [{"attr": a} for a in ["pvalue", "rvalue", "intercept", "slope", "stderr"]]
     res = dict(k("linear_trend")(np.arange(10, dtype=float), param))
@@ -350,6 +446,44 @@ def test_linear_trend():
     assert res['attr_"rvalue"'] == pytest.approx(1.0, abs=1e-9)
     assert res['attr_"pvalue"'] == pytest.approx(0.0, abs=1e-9)
     assert res['attr_"stderr"'] == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "values,stamps",
+    [
+        # hours / days / seconds / years published cases (reference
+        # test_feature_calculations.py:1796-1930): unit conversion to hours
+        # elapsed must make each of these an exact slope-1 line
+        (
+            [0, 1, 3, 6],
+            ["2018-01-01 04:00:00", "2018-01-01 05:00:00",
+             "2018-01-01 07:00:00", "2018-01-01 10:00:00"],
+        ),
+        (
+            [0, 24, 48, 72],
+            ["2018-01-01 04:00:00", "2018-01-02 04:00:00",
+             "2018-01-03 04:00:00", "2018-01-04 04:00:00"],
+        ),
+        (
+            [0, 1 / 3600.0, 2 / 3600.0, 3 / 3600.0],
+            ["2018-01-01 04:00:01", "2018-01-01 04:00:02",
+             "2018-01-01 04:00:03", "2018-01-01 04:00:04"],
+        ),
+        (
+            [0, 365 * 24, 365 * 48, 365 * 72 + 24],  # 2020 is a leap year
+            ["2018-01-01 04:00:00", "2019-01-01 04:00:00",
+             "2020-01-01 04:00:00", "2021-01-01 04:00:00"],
+        ),
+    ],
+)
+def test_linear_trend_timewise_units_reference_golden(values, stamps):
+    x = pd.Series(values, index=pd.DatetimeIndex(stamps))
+    param = [{"attr": a} for a in ["pvalue", "rvalue", "intercept", "slope", "stderr"]]
+    res = dict(k("linear_trend_timewise")(x, param))
+    assert res['attr_"slope"'] == pytest.approx(1.0, abs=1e-3)
+    assert res['attr_"intercept"'] == pytest.approx(0.0, abs=1e-3)
+    assert res['attr_"pvalue"'] == pytest.approx(0.0, abs=1e-3)
+    assert res['attr_"stderr"'] == pytest.approx(0.0, abs=1e-3)
 
 
 def test_change_quantiles_seeded():
