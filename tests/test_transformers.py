@@ -57,3 +57,26 @@ def test_selector_and_fused(spark, ts_and_labels):
 def test_selector_raises_before_fit(spark, ts_and_labels):
     with pytest.raises(RuntimeError):
         FeatureSelector().transform(ts_and_labels[0])
+
+
+def test_per_column_imputer_fit_transform(spark):
+    from tsfresh_spark.operators.transformers import PerColumnImputer
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, nan, -inf), (3, 3.0, inf), (4, 5.0, 20.0)],
+        "id long, a double, b double",
+    )
+    imp = PerColumnImputer().fit(df)
+    out = imp.transform(df).toPandas().set_index("id")
+    assert out.loc[2, "a"] == 3.0  # NaN -> median of finite {1,3,5}
+    assert out.loc[2, "b"] == 10.0  # -inf -> min of finite {10,20}
+    assert out.loc[3, "b"] == 20.0  # +inf -> max
+    # presets override fitted values; unknown preset keys raise
+    imp2 = PerColumnImputer(col_to_NAN_repl_preset={"a": -7.0}).fit(df)
+    out2 = imp2.transform(df).toPandas().set_index("id")
+    assert out2.loc[2, "a"] == -7.0
+    with pytest.raises(ValueError):
+        PerColumnImputer(col_to_NAN_repl_preset={"zzz": 0.0}).fit(df)
+    with pytest.raises(RuntimeError):
+        PerColumnImputer().transform(df)

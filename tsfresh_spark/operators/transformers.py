@@ -140,3 +140,61 @@ class RelevantFeatureAugmenter:
 
     def fit_transform(self, X: DataFrame, y: pd.Series) -> DataFrame:
         return self.fit(X, y).transform(X)
+
+
+class PerColumnImputer:
+    """Two-step column-wise imputer over a wide feature matrix — the Spark
+    analog of the reference's sklearn ``PerColumnImputer``
+    (transformers/per_column_imputer.py:15-132): ``fit`` computes per-column
+    (min, max, median) over finite values, ``transform`` replaces
+    −inf→min, +inf→max, NaN→median.  Preset dictionaries override the
+    fitted values per column; preset keys must be a subset of the fitted
+    columns (ValueError otherwise, like the reference)."""
+
+    def __init__(
+        self,
+        col_to_NINF_repl_preset: dict | None = None,
+        col_to_PINF_repl_preset: dict | None = None,
+        col_to_NAN_repl_preset: dict | None = None,
+    ):
+        self.col_to_NINF_repl_preset = col_to_NINF_repl_preset
+        self.col_to_PINF_repl_preset = col_to_PINF_repl_preset
+        self.col_to_NAN_repl_preset = col_to_NAN_repl_preset
+        self._ranges: dict | None = None
+
+    def fit(self, X: DataFrame, y=None):
+        from tsfresh_spark.operators.impute import get_range_values_per_column
+
+        columns = [
+            f.name
+            for f in X.schema.fields
+            if f.dataType.simpleString() in ("double", "float")
+        ]
+        ranges = get_range_values_per_column(X, columns)
+        for preset, idx in (
+            (self.col_to_NINF_repl_preset, 0),
+            (self.col_to_PINF_repl_preset, 1),
+            (self.col_to_NAN_repl_preset, 2),
+        ):
+            if preset is None:
+                continue
+            if not set(columns) >= set(preset):
+                raise ValueError(
+                    "preset dictionary contains keys not present in X"
+                )
+            for c, val in preset.items():
+                r = list(ranges[c])
+                r[idx] = val
+                ranges[c] = tuple(r)
+        self._ranges = ranges
+        return self
+
+    def transform(self, X: DataFrame) -> DataFrame:
+        from tsfresh_spark.operators.impute import impute_dataframe_range
+
+        if self._ranges is None:
+            raise RuntimeError("PerColumnImputer is not fitted")
+        return impute_dataframe_range(X, self._ranges)
+
+    def fit_transform(self, X: DataFrame, y=None) -> DataFrame:
+        return self.fit(X, y).transform(X)
