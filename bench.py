@@ -59,6 +59,9 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators may persist() internal frames (dedup staging); drop them
+        # so later workloads measure on a clean executor-storage slate
+        spark.catalog.clearCache()
 
     # events-derived tokens (short series — per-series overhead regime)
     toks = em._events_tokens_longid(spark, sf_dir).cache()

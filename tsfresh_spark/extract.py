@@ -353,6 +353,7 @@ def extract_features_long(
     column_sort: str | None = "time",
     column_value: str = "value",
     kind_to_settings: dict | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Extract features from a long frame via
     ``groupBy(id, kind).applyInPandas`` — the reference's own Spark-binding
@@ -361,8 +362,24 @@ def extract_features_long(
     The per-group sort happens inside the UDF (bindings.py:30-31); Spark
     only has to co-locate groups, never globally sort.  Output is the long
     triple frame ``(id, kind, variable, value:double)``.
+
+    The grouping shuffle is pinned with an explicit ``repartition`` on the
+    group keys (AQE honors user repartitions): grouped-map UDFs are
+    compute-bound, so AQE's byte-based partition coalescing misjudges them
+    badly — a few-MB long frame coalesces to 1-2 partitions and the whole
+    kernel evaluation runs on 1-2 cores.  ``num_partitions`` overrides the
+    default max(shuffle partitions, 2×parallelism); pass ``0`` to opt out
+    and let AQE decide.
     """
     _validate_settings(settings, kind_to_settings)
+    if num_partitions != 0:
+        if num_partitions is None:
+            sess = df.sparkSession
+            num_partitions = max(
+                int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+                sess.sparkContext.defaultParallelism * 2,
+            )
+        df = df.repartition(num_partitions, column_id, column_kind)
     id_type = df.schema[column_id].dataType.simpleString()
     sort_is_timestamp = (
         column_sort is not None

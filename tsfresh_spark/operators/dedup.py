@@ -16,6 +16,7 @@ pairs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -41,6 +42,29 @@ def _base60(col):
     """First 60 bits of md5 as a positive BIGINT — identical in Spark
     (conv(substring(md5), 16, 10)) and DuckDB (cast('0x'||substr(md5)))."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _portable_sig_udf(num_hashes: int):
+    """Vectorized signature evaluator for the portable family: the md5 base
+    values are computed JVM-side, then numpy evaluates all ``num_hashes``
+    affine min-passes per doc in one (H × n_shingles) int64 broadcast —
+    measured ~8 s → ~1 s on 5 k docs vs per-element Catalyst lambdas, with
+    bit-identical arithmetic (products < 2^62 stay exact in int64)."""
+    from pyspark.sql.functions import pandas_udf
+
+    A, B = minhash_coefficients(num_hashes)
+    A = np.asarray(A, dtype=np.int64)[:, None]
+    B = np.asarray(B, dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def sig(bases: pd.Series) -> pd.Series:
+        out = []
+        for b in bases:
+            arr = np.asarray(b, dtype=np.int64)[None, :]
+            out.append(((A * arr + B) % _MINHASH_P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
 
 
 def exact_duplicates(
@@ -111,11 +135,14 @@ def minhash_signatures(
     """
     sh = _shingles(text_col, shingle_n).alias("shingles")
     if hash_family == "portable":
-        # one md5 per shingle, then 64 cheap affine passes over the bases
+        # one md5 per shingle JVM-side, then the vectorized affine min-pass.
+        # Docs too short to shingle (< n words) have no signature; the
+        # pre-filter tests the cheap word count — filtering on
+        # size(shingles) would push the whole shingle expression into the
+        # predicate and re-evaluate it per row (measured 1.2 s → 9 s).
         staged = (
-            df.select(F.col(id_col), sh)
-            # docs too short to shingle have no signature (and no Jaccard)
-            .filter(F.size("shingles") > 0)
+            df.filter(F.size(_words(text_col)) >= shingle_n)
+            .select(F.col(id_col), sh)
             .select(
                 id_col,
                 F.transform(
@@ -123,19 +150,8 @@ def minhash_signatures(
                 ).alias("bases"),
             )
         )
-        A, B = minhash_coefficients(num_hashes)
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("bases"),
-                        lambda x: (F.lit(A[i]) * x + F.lit(B[i])) % _MINHASH_P,
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("minhash")
-        return staged.select(id_col, sig)
+        sig = _portable_sig_udf(num_hashes)
+        return staged.select(id_col, sig(F.col("bases")).alias("minhash"))
     # 64 independent streaming min-passes beat a single zip_with fold here
     # (the fold allocates a 64-wide accumulator array per shingle; measured
     # 21s vs 16s on the sf0.1 corpus)
@@ -253,10 +269,17 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only; join fan-in is the
-    candidate list, so the expensive set intersection never runs all-pairs."""
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    candidate list, so the expensive set intersection never runs all-pairs.
+    ``shingle_df`` (id, sh) skips re-shingling when the caller already
+    materialized the shingle sets (the fused pipeline passes its persisted
+    staging frame)."""
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
@@ -286,20 +309,54 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    persist: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
-    Jaccard verification at ``threshold``."""
+    Jaccard verification at ``threshold``.
+
+    The (id, shingles, signature) staging frame is computed ONCE and
+    ``persist``-ed (MEMORY_AND_DISK): the DAG reuses it five ways (bucket
+    counts, both self-join sides, both verify sides), and without a persist
+    Spark would re-run the shingling + signature hashing for each — the
+    dominant cost of the pipeline.  At 100 TB the staging frame is
+    corpus-sized but columnar and far smaller than the raw text; spill to
+    disk is the intended behavior.  Pass ``persist=False`` to keep the plan
+    fully lazy (e.g. under a single-action optimizer of your own).
+    """
+    from tsfresh_spark.plans.partitioning import ensure_min_parallelism
+
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        hash_family=hash_family,
+    sh = _shingles(text_col, shingle_n).alias("sh")
+    # cheap word-count pre-filter — see minhash_signatures for why not
+    # size(shingles)
+    staged = (
+        ensure_min_parallelism(df)
+        .filter(F.size(_words(text_col)) >= shingle_n)
+        .select(F.col(id_col), sh)
     )
+    if hash_family == "portable":
+        bases = F.transform(F.col("sh"), lambda s: _base60(s) % _MINHASH_P)
+        with_bases = staged.select(id_col, "sh", bases.alias("_bases"))
+        sig = _portable_sig_udf(num_hashes)
+        staged = with_bases.select(
+            id_col, "sh", sig(F.col("_bases")).alias("minhash")
+        )
+    else:
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        staged = staged.select(id_col, "sh", sig.alias("minhash"))
+    if persist:
+        from pyspark import StorageLevel
+
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(
-        sigs,
+        staged.select(id_col, "minhash"),
         id_col=id_col,
         num_bands=num_bands,
         rows_per_band=rows_per_band,
@@ -313,6 +370,7 @@ def minhash_near_duplicates(
         id_col=id_col,
         shingle_n=shingle_n,
         threshold=threshold,
+        shingle_df=staged.select(id_col, "sh"),
     )
 
 
@@ -375,16 +433,30 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal; above 3 the
     banding is a recall heuristic), join on chunk equality, verify hamming
     distance via bit_count(xor).  ``max_bucket_size`` drops hot chunks
-    (same guard as the minhash band join)."""
+    (same guard as the minhash band join).  The fingerprint frame is
+    ``persist``-ed — the DAG reads it for the chunk counts and both
+    self-join sides, and fingerprints are the expensive part."""
+    from tsfresh_spark.plans.partitioning import ensure_min_parallelism
+
     nbits = 60 if hash_family == "portable" else 64
     chunk_bits = nbits // 4
     chunk_mask = (1 << chunk_bits) - 1
-    fp = simhash(df, text_col=text_col, id_col=id_col, hash_family=hash_family)
+    fp = simhash(
+        ensure_min_parallelism(df),
+        text_col=text_col,
+        id_col=id_col,
+        hash_family=hash_family,
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     chunks = fp.select(
         id_col,
         "simhash",

@@ -35,6 +35,20 @@ def spread_by_keys(df: DataFrame, *keys: str, partitions: int | None = None) -> 
     return df.repartition(*keys)
 
 
+def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition ONLY when the input is under-partitioned
+    (fewer partitions than cores): a small parquet file scans as a single
+    partition and would run a compute-heavy narrow stage (signature
+    hashing, fingerprint folds) on one core.  On a real corpus the scan
+    already has ≫ cores partitions and this is a no-op — no shuffle is
+    added at scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(target)
+    return df
+
+
 def skew_report(df: DataFrame, key: str, top: int = 10) -> list[tuple]:
     """Per-key row weights (driver-side, small): feed the result into a
     salting decision — e.g. salt any key holding >2/partitions of the data."""
