@@ -371,15 +371,13 @@ def extract_features_long(
     default max(shuffle partitions, 2×parallelism); pass ``0`` to opt out
     and let AQE decide.
     """
+    from tsfresh_spark.plans.partitioning import pin_group_partitions
+
     _validate_settings(settings, kind_to_settings)
     if num_partitions != 0:
-        if num_partitions is None:
-            sess = df.sparkSession
-            num_partitions = max(
-                int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-                sess.sparkContext.defaultParallelism * 2,
-            )
-        df = df.repartition(num_partitions, column_id, column_kind)
+        df = pin_group_partitions(
+            df, column_id, column_kind, num_partitions=num_partitions
+        )
     id_type = df.schema[column_id].dataType.simpleString()
     sort_is_timestamp = (
         column_sort is not None

@@ -237,7 +237,12 @@ class RollupEngine:
             ]
             return pd.DataFrame(rows)
 
-        return points.groupBy(*idc).applyInPandas(per_series, schema=schema)
+        from tsfresh_spark.plans.partitioning import pin_group_partitions
+
+        # pin the grouping shuffle: AQE byte-coalescing would run this
+        # compute-bound stage on 1-2 cores for small-byte inputs
+        pinned = pin_group_partitions(points, *idc)
+        return pinned.groupBy(*idc).applyInPandas(per_series, schema=schema)
 
     def _feature_tier(self, points: DataFrame, window_seconds: int) -> DataFrame:
         chunks = self._chunk_points(points, window_seconds)

@@ -311,8 +311,11 @@ def calculate_relevance_table(
             {"feature": [pdf["variable"].iloc[0]], "type": [ftype], "p_value": [p]}
         )
 
+    from tsfresh_spark.plans.partitioning import pin_group_partitions
+
     table = (
-        joined.groupBy("variable")
+        pin_group_partitions(joined, "variable")
+        .groupBy("variable")
         .applyInPandas(score, "feature string, type string, p_value double")
         .toPandas()
     )

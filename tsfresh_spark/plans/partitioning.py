@@ -35,6 +35,25 @@ def spread_by_keys(df: DataFrame, *keys: str, partitions: int | None = None) -> 
     return df.repartition(*keys)
 
 
+def pin_group_partitions(
+    df: DataFrame, *keys: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Explicit hash-repartition on grouping keys ahead of a grouped-map
+    UDF.  AQE's byte-based partition coalescing misjudges compute-bound
+    pandas UDF stages badly — a few-MB frame coalesces to 1-2 partitions
+    and the whole per-group computation runs on 1-2 cores.  An explicit
+    user repartition is honored by AQE, and the downstream
+    ``groupBy(keys).applyInPandas`` reuses the exchange (same hash
+    distribution), so no extra shuffle is added."""
+    if num_partitions is None:
+        sess = df.sparkSession
+        num_partitions = max(
+            int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+            sess.sparkContext.defaultParallelism * 2,
+        )
+    return df.repartition(num_partitions, *keys)
+
+
 def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     """Round-robin repartition ONLY when the input is under-partitioned
     (fewer partitions than cores): a small parquet file scans as a single
