@@ -168,8 +168,10 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
                 del lines[i]
     out = []
     for rows, cols, _gap in final + lines:
-        order = np.argsort(rows)
-        out.append(([rows[i] for i in order], [cols[i] for i in order]))
+        # rows are appended in strictly decreasing order (the scan walks
+        # start_row-1 .. 0 and touches each line at most once per row), so
+        # ascending order is a plain reversal — no argsort needed
+        out.append((rows[::-1], cols[::-1]))
     return out
 
 
@@ -235,6 +237,22 @@ def number_cwt_peaks(x, n):
     algorithm)."""
     widths = np.arange(1, n + 1, dtype=float)
     mat = cwt_ricker(np.asarray(x, dtype=float), widths)
+    if mat.shape[0] == 1:
+        # single scale: every ridge line is one relative maximum and the
+        # length test (ceil(1/4) = 1) always passes — the whole filter
+        # reduces to one vectorized SNR check per maximum
+        cols = np.nonzero(_relative_maxima(mat)[0])[0]
+        if len(cols) == 0:
+            return 0
+        num_points = mat.shape[1]
+        window_size = int(np.ceil(num_points / 20.0))
+        noises = _sliding_percentile(
+            np.abs(mat[0, :]), window_size // 2, window_size % 2, 10
+        )
+        noise = noises[cols]
+        with np.errstate(all="ignore"):
+            ok = (noise == 0) | (np.abs(mat[0, cols] / noise) >= 1.0)
+        return int(np.count_nonzero(ok))
     gap_thresh = np.ceil(widths[0])
     lines = _identify_ridge_lines(mat, widths / 4.0, gap_thresh)
     filtered = _filter_ridge_lines(mat, lines)
