@@ -61,3 +61,31 @@ def test_grouped_extraction_single_shuffle(spark, sf_dir):
     out = extract_features_long(ev, minimal_settings())
     plan = _plan(out)
     assert plan.count("Exchange") == 1  # exactly the groupBy co-location
+
+
+def test_stage_profiler_captures_section_stages(spark):
+    from pyspark.sql import functions as F
+
+    from tsfresh_spark.plans.profiling import StageProfiler
+
+    # outside-the-block job must not be attributed to the section
+    spark.range(10000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    with StageProfiler(spark) as prof:
+        (
+            spark.range(200000)
+            .groupBy((F.col("id") % 13).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .collect()
+        )
+    s = prof.summary()
+    assert s["num_stages"] >= 2  # map + reduce side of the groupBy
+    assert s["executor_run_time_ms"] >= 0
+    assert s["shuffle_write_bytes"] > 0
+    assert s["shuffle_read_bytes"] > 0
+    assert all(m.stage_id >= 0 for m in prof.stages)
+    # a second profiled section sees only its own stages
+    with StageProfiler(spark) as prof2:
+        spark.range(100).count()
+    assert {m.stage_id for m in prof2.stages}.isdisjoint(
+        {m.stage_id for m in prof.stages}
+    )

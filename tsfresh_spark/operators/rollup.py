@@ -401,12 +401,27 @@ class RollupEngine:
         committed = self.manifest.committed_tiers(job_id)
         out: dict[str, str] = {}
 
+        from tsfresh_spark.plans.profiling import StageProfiler
+
         def do_tier(name: str, compute, lineage: str):
             if name in committed:
                 out[name] = self.tier_path(name)
                 return False
-            df = compute()
-            self._write(df, name)
+            # profile the tier's stages (status-store snapshot, driver-side)
+            # and persist the summary with the COMMIT lineage — the per-tier
+            # compute/shuffle/spill record the 100-TB tuning loop reads
+            with StageProfiler(self.spark) as prof:
+                df = compute()
+                self._write(df, name)
+            s = prof.summary()
+            lineage = (
+                f"{lineage} profile(run_ms={s['executor_run_time_ms']},"
+                f"cpu_ms={s['executor_cpu_time_ms']},"
+                f"shuffle_w={s['shuffle_write_bytes']},"
+                f"shuffle_r={s['shuffle_read_bytes']},"
+                f"spill={s['memory_spilled_bytes'] + s['disk_spilled_bytes']},"
+                f"stages={s['num_stages']},tasks={s['num_tasks']})"
+            )
             self.manifest.record_tier(job_id, name, self.tier_path(name), lineage)
             out[name] = self.tier_path(name)
             return True
