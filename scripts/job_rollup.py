@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--gap-method", choices=["ffill", "linear"], default="ffill")
     ap.add_argument("--base-impl", choices=["windows", "compact"], default="windows")
     ap.add_argument("--range-partitions", type=int, default=None)
+    ap.add_argument("--id-col", default="doc_id", help="series id column")
+    ap.add_argument("--kind-col", default="source", help="series kind column")
+    ap.add_argument("--ts-col", default="ts")
+    ap.add_argument("--value-col", default="value")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,27 +50,29 @@ def main() -> None:
     from tsfresh_spark.operators.rollup import RollupEngine
 
     df = spark.read.parquet(args.input)
+    idc, kc = args.id_col, args.kind_col
     if "tokens" in df.columns:
         points = df.select(
-            "doc_id",
-            "source",
+            idc,
+            kc,
             F.posexplode("tokens").alias("ts", "value"),
         ).select(
-            "doc_id", "source", F.col("ts").cast("long"),
+            idc, kc, F.col("ts").cast("long"),
             F.col("value").cast("double"),
         )
     else:
         points = df.select(
-            "doc_id",
-            "source",
-            F.col("ts").cast("timestamp").cast("long").alias("ts"),
-            F.col("value").cast("double"),
+            idc,
+            kc,
+            F.col(args.ts_col).cast("timestamp").cast("long").alias("ts"),
+            F.col(args.value_col).cast("double").alias("value"),
         )
 
     eng = RollupEngine(
         spark,
         args.output,
         settings=getattr(settings_mod, f"{args.settings}_settings")(),
+        id_cols=(idc, kc),
         base_step_seconds=args.base_step_seconds,
         gap_method=args.gap_method,
         base_impl=args.base_impl,

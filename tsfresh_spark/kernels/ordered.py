@@ -228,7 +228,13 @@ def change_quantiles_batch(x, param_list):
         return [(encode_parameters(p), 0.0) for p in param_list]
     div = np.diff(x)
     abs_div = np.abs(div)
-    qcache: dict = {}
+    # one vectorized quantile call for every distinct q in the grid —
+    # per-q values identical to individual np.quantile calls
+    uq = sorted(
+        {p["ql"] for p in param_list if p["ql"] < p["qh"]}
+        | {p["qh"] for p in param_list if p["ql"] < p["qh"]}
+    )
+    qcache: dict = dict(zip(uq, np.quantile(x, uq))) if uq else {}
     selections: dict = {}
     for p in param_list:
         ql, qh, isabs, f_agg = p["ql"], p["qh"], p["isabs"], p["f_agg"]
@@ -238,9 +244,6 @@ def change_quantiles_batch(x, param_list):
             continue
         key = (ql, qh, bool(isabs))
         if key not in selections:
-            for q in (ql, qh):
-                if q not in qcache:
-                    qcache[q] = np.quantile(x, q)
             lo, hi = qcache[ql], qcache[qh]
             if lo == hi:
                 selections[key] = None
