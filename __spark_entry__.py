@@ -480,6 +480,73 @@ def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select("user_id", "event_type", "bucket_ts", "v")
 
 
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.operators.gapfill import regularize_and_fill
+
+    ev = _events_long(spark, sf_dir)
+    filled = regularize_and_fill(
+        ev.select("user_id", "event_type", "ts", "v"),
+        id_cols=["user_id", "event_type"],
+        ts_col="ts",
+        value_col="v",
+        step="1 hour",
+        method="linear",
+    )
+    # round(6): interpolation is float-path-dependent in principle; both
+    # engines compute the identical expression over exact integers, the
+    # round is belt-and-braces
+    return filled.select(
+        "user_id",
+        "event_type",
+        "bucket_ts",
+        F.round(F.col("v").cast("double"), 6).alias("v"),
+    )
+
+
+_ORACLE_GAPFILL_LINEAR = f"""
+WITH base AS ({_BASE_SQL}),
+obs AS (
+  SELECT user_id, event_type, DATE_TRUNC('hour', ts) AS bucket_ts,
+         ARG_MAX(v, ts) AS v
+  FROM base GROUP BY user_id, event_type, DATE_TRUNC('hour', ts)
+),
+bounds AS (
+  SELECT user_id, event_type, MIN(bucket_ts) AS a, MAX(bucket_ts) AS b
+  FROM obs GROUP BY user_id, event_type
+),
+grid AS (
+  SELECT user_id, event_type,
+         UNNEST(GENERATE_SERIES(a, b, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.event_type, g.bucket_ts, o.v
+  FROM grid g LEFT JOIN obs o USING (user_id, event_type, bucket_ts)
+),
+nb AS (
+  SELECT *,
+    LAST_VALUE(v IGNORE NULLS) OVER w_back AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER w_back AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER w_fwd AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER w_fwd AS nt
+  FROM joined
+  WINDOW
+    w_back AS (PARTITION BY user_id, event_type ORDER BY bucket_ts
+               ROWS UNBOUNDED PRECEDING),
+    w_fwd AS (PARTITION BY user_id, event_type ORDER BY bucket_ts
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_type, bucket_ts,
+  ROUND(CASE
+    WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+    ELSE pv + (nv - pv) * (epoch(bucket_ts) - pt) / (nt - pt)
+  END, 6) AS v
+FROM nb
+"""
+
+
 _ORACLE_GAPFILL_FFILL = f"""
 WITH base AS ({_BASE_SQL}),
 obs AS (
@@ -1349,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "embedding_cosine_topk": q_embedding_topk,
         "gapfill_ffill_1m": q_gapfill_ffill,
+        "gapfill_linear_1h": q_gapfill_linear,
         "rolling_windows": q_rolling_windows,
         "rollup_tier_1h": q_rollup_1h,
         "language_id": q_language_id,
@@ -1378,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "embedding_cosine_topk": _ORACLE_EMBEDDING_TOPK,
         "gapfill_ffill_1m": _ORACLE_GAPFILL_FFILL,
+        "gapfill_linear_1h": _ORACLE_GAPFILL_LINEAR,
         "rolling_windows": _ORACLE_ROLLING_WINDOWS,
         "rollup_tier_1h": _ORACLE_ROLLUP_1H,
         "language_id": _ORACLE_LANGUAGE_ID,

@@ -73,7 +73,15 @@ def fill_linear(
     leading nulls stay null, trailing nulls take the last valid value.
     """
     out_col = out_col or value_col
-    pos = F.col(order_col).cast("double")
+    order_type = df.schema[order_col].dataType.simpleString()
+    # TIMESTAMP_NTZ cannot cast straight to double; route through TIMESTAMP
+    # (session tz — pinned UTC by build_session) so pos = epoch seconds for
+    # every timestamp flavor
+    pos = (
+        F.col(order_col).cast("timestamp").cast("double")
+        if order_type.startswith("timestamp")
+        else F.col(order_col).cast("double")
+    )
     v = F.col(value_col)
     wb = (
         Window.partitionBy(*id_cols)
