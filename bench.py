@@ -63,16 +63,24 @@ def main() -> None:
         # so later workloads measure on a clean executor-storage slate
         spark.catalog.clearCache()
 
+    def best_of(n: int, fn):
+        """min over n runs — this host swings ±2x run-to-run (frequency/
+        cache sharing), so the min is the stable engine-speed signal"""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # events-derived tokens (short series — per-series overhead regime)
     toks = em._events_tokens_longid(spark, sf_dir).cache()
     ev_tokens = toks.select(F.sum(F.size("tokens"))).collect()[0][0]
-    t0 = time.perf_counter()
-    materialize(
+    dt = best_of(2, lambda: materialize(
         extract_features_tokens(
             toks, efficient_settings(), id_col="user_id", kind_col="event_type"
         )
-    )
-    dt = time.perf_counter() - t0
+    ))
     timings["extract_efficient_kernels"] = round(dt, 3)
     events_tokens_per_sec = round(ev_tokens / dt, 1)
 
@@ -84,9 +92,9 @@ def main() -> None:
     n_docs = int(2000 * max(sf / 0.01, 1.0)) if sf > 0 else 2000
     corpus = tokens_corpus(spark, n_docs, n_partitions=cpus * 8).cache()
     total_tokens = corpus.select(F.sum("n_tok")).collect()[0][0]
-    t0 = time.perf_counter()
-    materialize(extract_features_tokens(corpus, efficient_settings(), output="map"))
-    dt = time.perf_counter() - t0
+    dt = best_of(2, lambda: materialize(
+        extract_features_tokens(corpus, efficient_settings(), output="map")
+    ))
     timings["extract_corpus_efficient"] = round(dt, 3)
     tokens_per_sec = round(total_tokens / dt, 1)
 
@@ -97,11 +105,9 @@ def main() -> None:
 
     comp = tokens_corpus(spark, 1500, n_partitions=cpus * 8).cache()
     comp_tokens = comp.select(F.sum("n_tok")).collect()[0][0]
-    t0 = time.perf_counter()
-    materialize(
+    dt = best_of(2, lambda: materialize(
         extract_features_tokens(comp, comprehensive_settings(), output="map")
-    )
-    dt = time.perf_counter() - t0
+    ))
     timings["extract_comprehensive_1500docs"] = round(dt, 3)
     comprehensive_tokens_per_sec = round(comp_tokens / dt, 1)
 
