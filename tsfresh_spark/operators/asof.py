@@ -73,12 +73,15 @@ def asof_join(
         )
         picked = F.last("_r", ignorenulls=True).over(w)
     else:
+        # reversed running frame: Spark evaluates [current, unboundedFollowing]
+        # by re-aggregating per row (O(n²) per key); the running last() over
+        # the exact reverse ordering is the O(n) form with identical values
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.asc("_t"), F.desc("_side"))
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.desc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        picked = F.first("_r", ignorenulls=True).over(w)
+        picked = F.last("_r", ignorenulls=True).over(w)
 
     matched = u.select(*u.columns, picked.alias("_m")).filter(
         F.col("_side") == 1
