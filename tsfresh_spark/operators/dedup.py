@@ -1,16 +1,24 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All four flavors are pure DataFrame plans (JVM-side, no Python UDFs):
+Four flavors, all expressed as DataFrame plans:
 
-* exact            — hash-groupBy on a content digest
+* exact            — hash-groupBy on a content digest (pure Catalyst)
 * minhash + LSH    — shingle → minhash signature → band-bucket join
-* simhash          — 64-bit weighted fingerprint, near-dup via hamming bands
+* simhash          — weighted bit fingerprint, near-dup via hamming bands
 * n-gram Jaccard   — verify candidate pairs with exact shingle-set Jaccard
 
+Two hash families: ``xxhash64`` (pure Catalyst, fastest primitive) and
+``portable`` (md5 base values + seeded affine universal hashes) whose every
+stage is replicable bit-for-bit in any SQL engine — DuckDB replays the full
+pipeline as the correctness oracle.  The portable signature's affine
+min-passes run as one vectorized numpy broadcast in an Arrow-batched pandas
+UDF (measured faster than per-element Catalyst lambdas); everything else
+stays JVM-side.
+
 At 100 TB the LSH band join is the scale path: candidate generation is a
-shuffle on (band, bucket) keys whose fan-out is bounded by band width, never
-an all-pairs cross join; the Jaccard verification joins only the candidate
-pairs.
+shuffle on (band, bucket) keys whose fan-out is bounded by the
+``max_bucket_size`` hot-bucket guard, never an all-pairs cross join; the
+Jaccard verification joins only the candidate pairs.
 """
 
 from __future__ import annotations
