@@ -728,3 +728,19 @@ def test_variance_larger_than_std_boundary():
     # var == 1 exactly → strictly greater is False
     x = np.array([1.0, 1.0, -1.0, -1.0])
     assert not bool(k("variance_larger_than_standard_deviation")(x))
+
+
+def test_reoccurring_sums_nan_poisons_like_reference():
+    """The reference's masked-counts formula makes a NaN unique value poison
+    the sum (0*nan = nan) — replicated exactly (feature_calculators.py:
+    1013-1016, 1040-1041)."""
+    x = np.array([1.0, np.nan, 3.0, 4.0, 5.0])
+    assert np.isnan(k("sum_of_reoccurring_values")(x))
+    assert np.isnan(k("sum_of_reoccurring_data_points")(x))
+    # NaN with actual duplicates: still NaN
+    x2 = np.array([2.0, 2.0, np.nan, 1.0])
+    assert np.isnan(k("sum_of_reoccurring_values")(x2))
+    assert np.isnan(k("sum_of_reoccurring_data_points")(x2))
+    # published finite cases unchanged
+    assert k("sum_of_reoccurring_values")(np.array([2, 2, 2, 2, 1])) == 2
+    assert k("sum_of_reoccurring_data_points")(np.array([2, 2, 2, 2, 1])) == 8

@@ -270,17 +270,25 @@ def percentage_of_reoccurring_datapoints_to_all_datapoints(x):
 
 @kernel("sum_of_reoccurring_values", "simple")
 def sum_of_reoccurring_values(x):
-    """Sum of distinct values that occur more than once (feature_calculators.py:992-1016)."""
+    """Sum of distinct values that occur more than once
+    (feature_calculators.py:992-1016).  Uses the reference's exact masked
+    formula ``sum(counts * unique)`` rather than a filtered sum: a NaN
+    unique value then poisons the result (0·nan = nan), matching the
+    reference bit-for-bit on NaN-bearing series."""
     uniq, counts = np.unique(x, return_counts=True)
-    return np.sum(uniq[counts > 1])
+    counts[counts < 2] = 0
+    counts[counts > 1] = 1
+    return np.sum(counts * uniq)
 
 
 @kernel("sum_of_reoccurring_data_points", "simple")
 def sum_of_reoccurring_data_points(x):
-    """Sum of all points whose value occurs more than once (feature_calculators.py:1020-1041)."""
+    """Sum of all points whose value occurs more than once
+    (feature_calculators.py:1020-1041).  Same masked formula as the
+    reference — NaN uniques propagate (see sum_of_reoccurring_values)."""
     uniq, counts = np.unique(x, return_counts=True)
-    keep = counts > 1
-    return np.sum(uniq[keep] * counts[keep])
+    counts[counts < 2] = 0
+    return np.sum(counts * uniq)
 
 
 @kernel("ratio_value_number_to_time_series_length", "simple")
