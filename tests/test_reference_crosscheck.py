@@ -32,7 +32,12 @@ DEP_GATED = {
 
 
 def _stub(name, **attrs):
+    import importlib.machinery
+
     m = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec (used by pyspark's
+    # dependency probing) doesn't choke on the stub
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -210,3 +215,110 @@ def test_parameterized_kernels_match_reference_on_default_grids(ref):
                             bad.append((name, len(x), p, mine, theirs))
     assert checked > 5000
     assert bad[:10] == [] and not bad
+
+
+@pytest.fixture(scope="module")
+def ref_dfn(ref):
+    """The reference's dataframe_functions, loaded standalone (reuses the
+    stub environment the ``ref`` fixture installed)."""
+    _stub(
+        "tsfresh.defaults",
+        CHUNKSIZE=None, N_PROCESSES=1, PROFILING=False,
+        PROFILING_FILENAME="x", PROFILING_SORTING="cumulative",
+        DISABLE_PROGRESSBAR=True, SHOW_WARNINGS=False, PARALLELISATION=None,
+        IMPUTE_FUNCTION=None,
+    )
+    # distribution pulls the feature_extraction package; provide it from the
+    # already-loaded standalone calculators module
+    fe = types.ModuleType("tsfresh.feature_extraction")
+    fe.__path__ = [f"{REF_ROOT}/tsfresh/feature_extraction"]
+    fe.feature_calculators = ref
+    sys.modules["tsfresh.feature_extraction"] = fe
+    sys.modules["tsfresh.feature_extraction.feature_calculators"] = ref
+    sd = importlib.util.spec_from_file_location(
+        "tsfresh.feature_extraction.data",
+        f"{REF_ROOT}/tsfresh/feature_extraction/data.py",
+    )
+    data_mod = importlib.util.module_from_spec(sd)
+    sd.loader.exec_module(data_mod)
+    sys.modules["tsfresh.feature_extraction.data"] = data_mod
+    s0 = importlib.util.spec_from_file_location(
+        "tsfresh.utilities.distribution",
+        f"{REF_ROOT}/tsfresh/utilities/distribution.py",
+    )
+    dist = importlib.util.module_from_spec(s0)
+    s0.loader.exec_module(dist)
+    sys.modules["tsfresh.utilities.distribution"] = dist
+    s1 = importlib.util.spec_from_file_location(
+        "tsfresh.utilities.dataframe_functions",
+        f"{REF_ROOT}/tsfresh/utilities/dataframe_functions.py",
+    )
+    dfn = importlib.util.module_from_spec(s1)
+    s1.loader.exec_module(dfn)
+    return dfn
+
+
+@pytest.mark.parametrize("max_ts,min_ts", [(2, 1), (3, 0), (None, 2)])
+def test_roll_time_series_matches_reference(spark, ref_dfn, max_ts, min_ts):
+    """operators/rolling.roll_time_series produces the same (window, time,
+    value) membership as the reference's pandas roller (rolling_direction=1),
+    window identity mapped (orig, shift) ⇔ reference tuple-id."""
+    from tsfresh_spark.operators.rolling import roll_time_series
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "id": np.repeat([1, 2, 3], 7),
+            "time": np.tile(np.arange(7), 3),
+            "value": rng.randint(0, 100, 21).astype(float),
+        }
+    )
+    want = ref_dfn.roll_time_series(
+        pdf, column_id="id", column_sort="time",
+        max_timeshift=max_ts, min_timeshift=min_ts,
+        rolling_direction=1, disable_progressbar=True, n_jobs=0,
+    )
+    want_set = {
+        (int(r["id"][0]), int(r["id"][1]), int(r["time"]), float(r["value"]))
+        for _, r in want.iterrows()
+    }
+    got = roll_time_series(
+        spark.createDataFrame(pdf),
+        column_id="id", column_sort="time", column_value="value",
+        max_timeshift=max_ts, min_timeshift=min_ts,
+    ).toPandas()
+    got_set = {
+        (int(r["id"]["orig"]), int(r["id"]["shift"]), int(r["time"]), float(r["value"]))
+        for _, r in got.iterrows()
+    }
+    assert got_set == want_set
+
+
+def test_impute_range_matches_reference(spark, ref_dfn):
+    """Spark impute_dataframe_range == the reference's pandas version on a
+    NaN/±inf-bearing matrix with explicit replacement dicts."""
+    from tsfresh_spark.operators.impute import impute_dataframe_range
+
+    nan, inf = float("nan"), float("inf")
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, nan, inf, -inf, 5.0],
+            "b": [nan, 2.0, 3.0, inf, -inf],
+        }
+    )
+    col_to_max = {"a": 100.0, "b": 200.0}
+    col_to_min = {"a": -100.0, "b": -200.0}
+    col_to_median = {"a": 7.0, "b": 8.0}
+    want = ref_dfn.impute_dataframe_range(
+        pdf.copy(), col_to_max, col_to_min, col_to_median
+    )
+    ranges = {
+        c: (col_to_min[c], col_to_max[c], col_to_median[c]) for c in ("a", "b")
+    }
+    got = (
+        impute_dataframe_range(spark.createDataFrame(pdf), ranges)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for c in ("a", "b"):
+        assert np.allclose(got[c].values, want[c].values)
