@@ -131,3 +131,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_labels")
+
+
+def test_grouped_extraction_pins_partition_count(spark):
+    """extract_features_long must carry a user-specified repartition on the
+    group keys (REPARTITION_BY_NUM) so AQE cannot byte-coalesce the
+    compute-bound pandas stage down to 1-2 partitions (the regression that
+    ran the kernel UDF on 2 cores)."""
+    import pandas as pd
+
+    from tsfresh_spark.extract import extract_features_long
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "kind": ["a"] * 4,
+            "time": [0, 1, 0, 1],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = extract_features_long(
+        spark.createDataFrame(pdf), {"mean": None}, num_partitions=7
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:600]
+    assert ", 7)" in plan  # the explicit partition count survives planning
+    # and opting out drops the pin
+    out2 = extract_features_long(
+        spark.createDataFrame(pdf), {"mean": None}, num_partitions=0
+    )
+    assert "REPARTITION_BY_NUM" not in out2._jdf.queryExecution().executedPlan().toString()
