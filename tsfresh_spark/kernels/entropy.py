@@ -56,7 +56,10 @@ def _cheb_matrices(x: np.ndarray, widths: list[int]):
             out[w] = d
     if 1 in widths:
         out[1] = D
-    _CHEB_CACHE[0] = (key, out)
+    # cache only moderate series: n=2048 pins ~66 MB/worker (fine), n=4096
+    # would pin ~270 MB — not worth holding between series
+    if x.size <= 2048:
+        _CHEB_CACHE[0] = (key, out)
     return out
 
 
