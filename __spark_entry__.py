@@ -1186,11 +1186,15 @@ def q_timewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         },
     )
+    # round(5): slope/intercept/r are genuinely float-path-dependent
+    # (numpy two-pass means vs DuckDB single-pass COVAR/VAR); measured
+    # cross-engine divergence is <=3.6e-12 at sf0.01, so 5 decimals puts
+    # every value ~7 orders of magnitude away from a rounding boundary
     return feats.select(
         F.col("id").cast("long").alias("user_id"),
         F.col("kind").alias("event_type"),
         "variable",
-        F.round("value", 6).alias("value"),
+        F.round("value", 5).alias("value"),
     )
 
 
@@ -1216,19 +1220,19 @@ g AS (
 )
 SELECT user_id, event_type,
   event_type || '__linear_trend_timewise__attr_"slope"' AS variable,
-  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(sxy / sxx, 6) END AS value
+  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(sxy / sxx, 5) END AS value
 FROM g
 UNION ALL
 SELECT user_id, event_type,
   event_type || '__linear_trend_timewise__attr_"intercept"',
-  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(mv - (sxy / sxx) * mt, 6) END
+  CASE WHEN n >= 2 AND sxx <> 0 THEN ROUND(mv - (sxy / sxx) * mt, 5) END
 FROM g
 UNION ALL
 SELECT user_id, event_type,
   event_type || '__linear_trend_timewise__attr_"rvalue"',
   CASE WHEN n < 2 OR sxx = 0 THEN NULL
        WHEN syy = 0 THEN 0.0
-       ELSE ROUND(LEAST(1.0, GREATEST(-1.0, r)), 6) END
+       ELSE ROUND(LEAST(1.0, GREATEST(-1.0, r)), 5) END
 FROM g
 """
 

@@ -123,15 +123,16 @@ _PLAN_CACHE_MAX = 64  # bound: ad-hoc settings dicts must not pin memory
 
 
 def _get_plan(settings: dict, kind: str) -> _CompiledPlan:
+    """LRU: hits move to the end, eviction takes the least-recently-used —
+    a session's primary settings plan survives any number of ad-hoc dicts
+    cycling through (FIFO would evict the hottest, oldest-inserted entry)."""
     key = (id(settings), kind)
-    hit = _PLAN_CACHE.get(key)
+    hit = _PLAN_CACHE.pop(key, None)
     if hit is None or hit[0] is not settings:
         hit = (settings, _CompiledPlan(settings, kind))
         if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            # evict oldest insertion (dict preserves order) — plain FIFO is
-            # enough: the hot path reuses one settings dict per extraction
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = hit
+    _PLAN_CACHE[key] = hit
     return hit[1]
 
 

@@ -168,10 +168,13 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
                 del lines[i]
     out = []
     for rows, cols, _gap in final + lines:
-        # rows are appended in strictly decreasing order (the scan walks
-        # start_row-1 .. 0 and touches each line at most once per row), so
-        # ascending order is a plain reversal — no argsort needed
-        out.append((rows[::-1], cols[::-1]))
+        # NOT a plain reversal: several same-row maxima can attach to one
+        # line through the stale prev_cols batch lookup, so rows may hold
+        # duplicates — argsort (quicksort, like the published scipy
+        # implementation) keeps the tie ordering that feeds cols[0] into
+        # the SNR filter
+        order = np.argsort(rows)
+        out.append(([rows[i] for i in order], [cols[i] for i in order]))
     return out
 
 

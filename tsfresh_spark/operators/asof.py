@@ -36,6 +36,11 @@ def asof_join(
     column's own units."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if "_rt" in value_cols:
+        # the struct carries the matched right timestamp under this field
+        # name; a value column with the same name would make field
+        # extraction ambiguous
+        raise ValueError("value column name '_rt' is reserved by asof_join")
     left_cols = [c for c in left.columns]
     # All right payload travels as ONE struct so a single
     # last/first(ignorenulls=True) picks the whole matched row atomically —

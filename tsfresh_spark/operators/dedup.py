@@ -401,7 +401,6 @@ def simhash(
     nbits = 60 if hash_family == "portable" else 64
     words = F.array_distinct(_words(text_col))
     if hash_family == "portable":
-        df = df.filter(F.size(_words(text_col)) > 0)
         hashes = F.transform(words, lambda w: _base60(w))
         masks = F.array(*[F.lit(1 << b).cast("long") for b in range(nbits)])
     else:
@@ -455,8 +454,14 @@ def simhash_near_duplicates(
     nbits = 60 if hash_family == "portable" else 64
     chunk_bits = nbits // 4
     chunk_mask = (1 << chunk_bits) - 1
+    src = ensure_min_parallelism(df)
+    if hash_family == "portable":
+        # zero-word docs carry no signal and the oracle excludes them; the
+        # filter lives HERE so the simhash() fingerprint primitive keeps
+        # its one-row-per-doc contract
+        src = src.filter(F.size(_words(text_col)) > 0)
     fp = simhash(
-        ensure_min_parallelism(df),
+        src,
         text_col=text_col,
         id_col=id_col,
         hash_family=hash_family,

@@ -124,9 +124,12 @@ def cosine_topk_ivf(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qemb"),
     )
-    n_corpus = c.count()
+    # bounded probe instead of a full count: only corpora that actually
+    # exceed the cap pay the exact count (needed for the sample fraction,
+    # and negligible next to the iterative KMeans that follows)
     train = c
-    if n_corpus > max_train_rows:
+    if c.limit(max_train_rows + 1).count() > max_train_rows:
+        n_corpus = c.count()
         # sample ~2x the target then hard-cap with limit (sample fraction is
         # approximate); seeded for reproducible centroids
         frac = min(1.0, 2.0 * max_train_rows / n_corpus)
