@@ -415,7 +415,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TEXT_STATS = """
 WITH w AS (
-  SELECT doc_id, text, STRING_SPLIT(text, ' ') AS words FROM documents
+  SELECT doc_id, text,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
 )
 SELECT doc_id,
   CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -652,11 +654,12 @@ def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         settings={name: None for name in _ROLLUP_FEATURES},
         id_cols=("user_id", "event_type"),
         base_step_seconds=3600,
+        base_impl="compact",
     )
     # compact base (1 shuffle; byte-identical to the window-function path,
     # tests/test_rollup.py::test_compact_base_tier_bitexact) + narrow split
-    base = eng._base_tier_compact(points)
-    tier = eng._cascade_tier(base, 86400)
+    base = eng.compute_base(points)
+    tier = eng.compute_tier(base, 86400)
     return tier.select(
         "user_id",
         "event_type",
@@ -696,22 +699,22 @@ filled AS (
          MAX(v) OVER (PARTITION BY user_id, event_type, gid) AS v
   FROM grp
 ),
-hourly AS (
+daily AS (
   SELECT user_id, event_type, bucket - bucket % 86400 AS window_start,
          COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
   FROM filled WHERE v IS NOT NULL
   GROUP BY user_id, event_type, bucket - bucket % 86400
 )
 SELECT user_id, event_type, window_start, CAST(n AS DOUBLE) AS n_points,
-       event_type || '__length' AS variable, CAST(n AS DOUBLE) AS value FROM hourly
+       event_type || '__length' AS variable, CAST(n AS DOUBLE) AS value FROM daily
 UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
-       event_type || '__sum_values', CAST(s AS DOUBLE) FROM hourly
+       event_type || '__sum_values', CAST(s AS DOUBLE) FROM daily
 UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
-       event_type || '__minimum', CAST(mn AS DOUBLE) FROM hourly
+       event_type || '__minimum', CAST(mn AS DOUBLE) FROM daily
 UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
-       event_type || '__maximum', CAST(mx AS DOUBLE) FROM hourly
+       event_type || '__maximum', CAST(mx AS DOUBLE) FROM daily
 UNION ALL SELECT user_id, event_type, window_start, CAST(n AS DOUBLE),
-       event_type || '__mean', CAST(s AS DOUBLE) / n FROM hourly
+       event_type || '__mean', CAST(s AS DOUBLE) / n FROM daily
 """
 
 
@@ -730,7 +733,10 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LANGUAGE_ID = """
 WITH w AS (
-  SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LOWER(t)) AS words
+  SELECT doc_id,
+         LIST_TRANSFORM(
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> ''),
+           t -> LOWER(t)) AS words
   FROM documents
 ),
 scored AS (
@@ -761,7 +767,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_QUALITY_SCORE = """
 WITH w AS (
-  SELECT doc_id, text, STRING_SPLIT(text, ' ') AS words FROM documents
+  SELECT doc_id, text,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
 ),
 m AS (
   SELECT doc_id, text, words,
@@ -794,7 +802,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TOKEN_COUNT = """
-WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+)
 SELECT doc_id,
   CAST(LEN(words) AS BIGINT) AS n_whitespace_tokens,
   CAST(LIST_AGGREGATE(LIST_TRANSFORM(words, t -> CAST(CEIL(LENGTH(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_ish_tokens

@@ -146,6 +146,18 @@ def compute_series_features(
     """Evaluate every configured kernel on one series; yields
     ``(feature_name, value)`` with values coerced to float64."""
     plan = _get_plan(settings, kind)
+    try:
+        yield from _run_plan(plan, values, timestamps, show_warnings)
+    finally:
+        # sample_entropy/ApEn share Chebyshev matrices through a one-slot
+        # cache; once this series is done the slot would otherwise pin up to
+        # ~66 MB per reused python worker between jobs
+        from tsfresh_spark.kernels.entropy import clear_cheb_cache
+
+        clear_cheb_cache()
+
+
+def _run_plan(plan, values, timestamps, show_warnings):
     series = None  # built lazily, only if some kernel needs pandas input
     with warnings.catch_warnings():
         warnings.simplefilter("default" if show_warnings else "ignore")

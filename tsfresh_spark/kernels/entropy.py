@@ -37,6 +37,14 @@ _CHEB_DENSE_LIMIT = 4096  # n beyond which the O(n²) dense matrices spill
 _CHEB_CACHE: list = [None]  # (key_bytes, {width: matrix})
 
 
+def clear_cheb_cache() -> None:
+    """Release the cached matrices (up to ~66 MB for a 2048-point series).
+    Called by the extraction plan once a series' kernels have all run —
+    long-lived reused python workers must not pin the last series' matrices
+    between jobs."""
+    _CHEB_CACHE[0] = None
+
+
 def _cheb_matrices(x: np.ndarray, widths: list[int]):
     """Chebyshev window-distance matrices for each width, built as
     diagonal-shifted maxima of the single |x_i - x_j| base matrix — exact

@@ -41,6 +41,14 @@ def asof_join(
         # name; a value column with the same name would make field
         # extraction ambiguous
         raise ValueError("value column name '_rt' is reserved by asof_join")
+    reserved = {"_t", "_side", "_r"}
+    clashes = (set(left.columns) | set(value_cols)) & reserved
+    if clashes:
+        # these are the internal working columns of the union+window plan;
+        # a left/value column with the same name would be silently shadowed
+        raise ValueError(
+            f"column names {sorted(clashes)} are reserved by asof_join"
+        )
     left_cols = [c for c in left.columns]
     # All right payload travels as ONE struct so a single
     # last/first(ignorenulls=True) picks the whole matched row atomically —

@@ -171,7 +171,14 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     ).alias("minhash")
-    return df.select(F.col(id_col), sh).select(id_col, sig)
+    # same short-doc pre-filter as the portable branch, so switching
+    # hash_family never changes the output row set (a < n-word doc has no
+    # shingles and thus no meaningful signature in either family)
+    return (
+        df.filter(F.size(_words(text_col)) >= shingle_n)
+        .select(F.col(id_col), sh)
+        .select(id_col, sig)
+    )
 
 
 def _banded(

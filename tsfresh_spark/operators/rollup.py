@@ -307,6 +307,26 @@ class RollupEngine:
 
         return stored.select(*idc, "payload").mapInPandas(run, schema)
 
+    # ------------------------------------------------- public tier entrypoints
+
+    def compute_base(self, points: DataFrame) -> DataFrame:
+        """Public: the gap-filled, payload-encoded base tier for raw
+        ``points`` (id_cols + ts:long epoch-seconds + value:double), using
+        the engine's configured physical strategy (``base_impl``) without
+        touching tier storage — the building block ``run()`` persists."""
+        fn = self._base_tier_compact if self.base_impl == "compact" else self._base_tier
+        return fn(points)
+
+    def compute_tier(self, base: DataFrame, window_seconds: int) -> DataFrame:
+        """Public: one feature tier at ``window_seconds`` from a base-tier
+        frame (as returned by :meth:`compute_base` or read back from tier
+        storage).  Picks the same physical strategy as ``run()``: the
+        zero-shuffle narrow payload split when windows are day-aligned,
+        otherwise decode + regroup (one shuffle)."""
+        if DAY % window_seconds == 0:
+            return self._cascade_tier(base, window_seconds)
+        return self._feature_tier(self.decode_points(base), window_seconds)
+
     def _apply_chunks(self, chunks: DataFrame, *, with_features: bool) -> DataFrame:
         idc = list(self.id_cols)
         settings = self.settings
@@ -409,19 +429,33 @@ class RollupEngine:
                 return False
             # profile the tier's stages (status-store snapshot, driver-side)
             # and persist the summary with the COMMIT lineage — the per-tier
-            # compute/shuffle/spill record the 100-TB tuning loop reads
-            with StageProfiler(self.spark) as prof:
-                df = compute()
-                self._write(df, name)
-            s = prof.summary()
-            lineage = (
-                f"{lineage} profile(run_ms={s['executor_run_time_ms']},"
-                f"cpu_ms={s['executor_cpu_time_ms']},"
-                f"shuffle_w={s['shuffle_write_bytes']},"
-                f"shuffle_r={s['shuffle_read_bytes']},"
-                f"spill={s['memory_spilled_bytes'] + s['disk_spilled_bytes']},"
-                f"stages={s['num_stages']},tasks={s['num_tasks']})"
-            )
+            # compute/shuffle/spill record the 100-TB tuning loop reads.
+            # The profiler reaches private status-store accessors via py4j;
+            # it must NEVER gate the manifest COMMIT — if the snapshot API
+            # differs on some Spark build, commit with the plain lineage
+            # (a recomputed-on-resume tier would be silent, a missing
+            # profile string is just informational).
+            try:
+                prof = StageProfiler(self.spark)
+                prof.__enter__()
+            except Exception:
+                prof = None
+            df = compute()
+            self._write(df, name)
+            if prof is not None:
+                try:
+                    prof.__exit__(None, None, None)
+                    s = prof.summary()
+                    lineage = (
+                        f"{lineage} profile(run_ms={s['executor_run_time_ms']},"
+                        f"cpu_ms={s['executor_cpu_time_ms']},"
+                        f"shuffle_w={s['shuffle_write_bytes']},"
+                        f"shuffle_r={s['shuffle_read_bytes']},"
+                        f"spill={s['memory_spilled_bytes'] + s['disk_spilled_bytes']},"
+                        f"stages={s['num_stages']},tasks={s['num_tasks']})"
+                    )
+                except Exception:
+                    pass
             self.manifest.record_tier(job_id, name, self.tier_path(name), lineage)
             out[name] = self.tier_path(name)
             return True

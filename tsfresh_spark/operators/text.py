@@ -19,13 +19,26 @@ _LANG_MARKERS = {
 _EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "with", "as", "at", "by"]
 
 
+def _words(text_col: str):
+    """Whitespace tokens with empties dropped — the ONE tokenization rule
+    shared by every text operator here and by operators/dedup.py:100 (the
+    shinglers).  Leading/trailing/consecutive whitespace never yields ''
+    tokens, so word counts agree across the whole text plane."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+
+
 def text_stats(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Basic per-document statistics: characters, whitespace tokens, mean
-    word length, distinct words, type-token ratio, space count."""
+    word length, distinct words, type-token ratio, space count.
+
+    Tokenization is ``\\s+`` with empty tokens dropped — the SAME rule as
+    ``token_count``/``quality_score``/the dedup shinglers, so consecutive
+    spaces can never inflate ``n_words`` or deflate ``mean_word_len``
+    relative to the other text operators."""
     t = F.col(text_col)
-    words = F.split(t, " ")
+    words = _words(text_col)
     word_lens = F.transform(words, F.length)
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -53,7 +66,7 @@ def token_count(
     """Whitespace tokens plus a BPE-ish sub-word estimate: word-piece count
     approximated as ceil(word_len / 4) per word (the common ~4-chars/token
     heuristic), all in one expression."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = _words(text_col)
     bpe_ish = F.aggregate(
         F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
         F.lit(0).cast("long"),
@@ -73,7 +86,7 @@ def quality_score(
     length band, stopword ratio, alpha ratio, repetition — composed into a
     [0, 1] score.  Pure column algebra."""
     t = F.col(text_col)
-    words = F.split(t, r"\s+")
+    words = _words(text_col)
     n_words = F.size(words)
     mean_wl = (
         F.aggregate(
@@ -114,7 +127,7 @@ def language_id(
     stopword hit count over the doc's words; argmax wins (ties → 'und').
     JVM-only; for production-quality LID swap in a fastText-style model via
     mapInPandas — the plumbing is the same."""
-    words = F.transform(F.split(F.col(text_col), r"\s+"), F.lower)
+    words = F.transform(_words(text_col), F.lower)
     scores = [
         F.size(F.filter(words, lambda w: w.isin(markers))).alias(f"score_{lang}")
         for lang, markers in _LANG_MARKERS.items()
@@ -135,7 +148,7 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: minimum rolling hash over
     ``window``-gram shingles — a compact dedup/citation key."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = _words(text_col)
     grams = F.filter(
         F.transform(
             words,
