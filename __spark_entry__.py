@@ -1250,8 +1250,317 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
-# q24-q25: near-dup detection — the engine's "portable" hash family (md5
-# base values + universal hashes, raw-tuple band keys) is replicated
+# q26: FRESH selection plane — relevance table with a full DuckDB replica of
+# all four significance tests (Fisher exact, Mann-Whitney, Kendall τ-b, KS)
+# and the Benjamini-Yekutieli mask.  Reference surface: relevance.py:31-322,
+# significance_tests.py:43-188.  Exactness: integral feature values → ranks,
+# tie terms and contingency counts are exact on both sides; every float
+# formula (variances, z-scores, the shared portable erfc from
+# operators/selection.py:_nr_erfc, lgamma hypergeometric sums, the KS
+# series) is mirrored operation-for-operation; p-values round(6).
+# ---------------------------------------------------------------------------
+
+
+def q_fresh_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    import pandas as pd
+
+    from tsfresh_spark.operators.selection import calculate_relevance_table
+
+    ev = _events_long(spark, sf_dir)
+    # deterministic per-user feature matrix: 4 real + 1 binary + 1 constant,
+    # all integral-valued doubles (exact ranks/ties/counts in any engine)
+    feats = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("f_count"),
+        F.sum("v").cast("double").alias("f_sum"),
+        F.max("v").cast("double").alias("f_max"),
+        F.min("v").cast("double").alias("f_min"),
+        (F.count("*") % 2).cast("double").alias("f_parity"),
+        F.lit(1.0).alias("f_const"),
+    )
+    # two deterministic targets: binary (classification routes real→MW,
+    # binary→Fisher) and real (regression routes real→Kendall, binary→KS).
+    # y is a tiny driver-side Series — the selection API contract, like the
+    # reference's calculate_relevance_table(X, y).
+    targets = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_id") % 2 == 0, F.col("v")).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("y_reg")
+        )
+        .withColumn("y_class", (F.col("user_id") % 2).cast("int"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    rows = []
+    for task, y in (
+        ("classification", targets["y_class"]),
+        ("regression", targets["y_reg"]),
+    ):
+        tbl = calculate_relevance_table(feats, y, id_col="user_id", ml_task=task)
+        for r in tbl[["feature", "type", "p_value", "relevant"]].itertuples(
+            index=False
+        ):
+            p = None if pd.isna(r.p_value) else float(r.p_value)
+            rows.append((task, r.feature, r.type, p, int(bool(r.relevant))))
+    out = spark.createDataFrame(
+        rows,
+        "task string, feature string, type string, p_value double, relevant int",
+    )
+    return out.select(
+        "task",
+        "feature",
+        "type",
+        F.round("p_value", 6).alias("p_value"),
+        "relevant",
+    )
+
+
+# The NR-form erfc polynomial — textually identical constants and
+# association order as operators/selection.py:_nr_erfc
+_ERFC_POLY = (
+    "tt * EXP(-ax*ax - 1.26551223 + tt*(1.00002368 + tt*(0.37409196 + "
+    "tt*(0.09678418 + tt*(-0.18628806 + tt*(0.27886807 + tt*(-1.13520398 + "
+    "tt*(1.48851587 + tt*(-0.82215223 + tt*0.17087277)))))))))"
+)
+
+_ORACLE_FRESH_RELEVANCE = f"""
+WITH base AS ({_BASE_SQL}),
+feat AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS f_count,
+         CAST(SUM(v) AS DOUBLE) AS f_sum,
+         CAST(MAX(v) AS DOUBLE) AS f_max,
+         CAST(MIN(v) AS DOUBLE) AS f_min,
+         CAST(COUNT(*) % 2 AS DOUBLE) AS f_parity,
+         CAST(1.0 AS DOUBLE) AS f_const,
+         CAST(user_id % 2 AS INT) AS y_class,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN v ELSE 0 END) AS DOUBLE) AS y_reg
+  FROM base GROUP BY user_id
+),
+melted AS (
+  SELECT user_id, y_class, y_reg, 'f_count' AS feature, f_count AS value FROM feat
+  UNION ALL SELECT user_id, y_class, y_reg, 'f_sum', f_sum FROM feat
+  UNION ALL SELECT user_id, y_class, y_reg, 'f_max', f_max FROM feat
+  UNION ALL SELECT user_id, y_class, y_reg, 'f_min', f_min FROM feat
+  UNION ALL SELECT user_id, y_class, y_reg, 'f_parity', f_parity FROM feat
+  UNION ALL SELECT user_id, y_class, y_reg, 'f_const', f_const FROM feat
+),
+typed AS (
+  SELECT feature, COUNT(DISTINCT value) AS nd, COUNT(*) AS n,
+         MIN(value) AS mnv, MAX(value) AS mxv
+  FROM melted GROUP BY feature
+),
+types AS (
+  SELECT feature, CASE WHEN nd <= 1 THEN 'constant'
+                       WHEN nd = 2 THEN 'binary' ELSE 'real' END AS type
+  FROM typed
+),
+-- ====== classification / real -> Mann-Whitney (asymptotic, tie+cc) ======
+mw_rows AS (
+  SELECT m.feature, m.value, m.y_class,
+         RANK() OVER (PARTITION BY m.feature ORDER BY m.value) AS minr,
+         COUNT(*) OVER (PARTITION BY m.feature, m.value) AS cnt
+  FROM melted m JOIN typed t USING (feature) WHERE t.nd >= 3
+),
+mw_tie AS (
+  SELECT feature, CAST(SUM(c*c*c - c) AS DOUBLE) AS tie_term
+  FROM (SELECT m.feature, m.value, COUNT(*) AS c
+        FROM melted m JOIN typed t USING (feature) WHERE t.nd >= 3
+        GROUP BY m.feature, m.value)
+  GROUP BY feature
+),
+mw_agg AS (
+  SELECT feature,
+         SUM(CASE WHEN y_class = 0 THEN CAST(minr AS DOUBLE) + (cnt - 1)/2.0 ELSE 0.0 END) AS r1,
+         COUNT(*) FILTER (WHERE y_class = 0) AS n1,
+         COUNT(*) FILTER (WHERE y_class = 1) AS n2
+  FROM mw_rows GROUP BY feature
+),
+mw_var AS (
+  SELECT a.feature, r1, n1, n2,
+         (n1*n2)/12.0 * (((n1 + n2) + 1) - tie_term / CAST((n1 + n2)*((n1 + n2) - 1) AS DOUBLE)) AS var
+  FROM mw_agg a JOIN mw_tie USING (feature)
+),
+mw_res AS (
+  SELECT feature,
+         CASE WHEN var <= 0 THEN 1.0 END AS p_fixed,
+         CASE WHEN var > 0 THEN
+           (ABS((r1 - (n1*(n1 + 1))/2.0) - (n1*n2)/2.0) - 0.5) / SQRT(var)
+         END AS z
+  FROM mw_var
+),
+-- ====== regression / real -> Kendall tau-b (asymptotic, tie-adjusted) ======
+kreal AS (
+  SELECT m.feature, m.user_id, m.value, m.y_reg
+  FROM melted m JOIN typed t USING (feature) WHERE t.nd >= 3
+),
+kpq AS (
+  SELECT a.feature,
+         COUNT(*) FILTER (WHERE (a.value - b.value)*(a.y_reg - b.y_reg) > 0) AS cp,
+         COUNT(*) FILTER (WHERE (a.value - b.value)*(a.y_reg - b.y_reg) < 0) AS cq
+  FROM kreal a JOIN kreal b ON a.feature = b.feature AND a.user_id < b.user_id
+  GROUP BY a.feature
+),
+ktx AS (
+  SELECT feature,
+         SUM(cd*(cd - 1)/2) AS xt_pairs,
+         SUM(cd*(cd - 1)*(2*cd + 5)) AS vt,
+         SUM(cd*(cd - 1)*(cd - 2)) AS vt2,
+         SUM(cd*(cd - 1)) AS xt11
+  FROM (SELECT feature, value, CAST(COUNT(*) AS DOUBLE) AS cd
+        FROM kreal GROUP BY feature, value)
+  GROUP BY feature
+),
+kty AS (
+  SELECT feature,
+         SUM(cd*(cd - 1)/2) AS yt_pairs,
+         SUM(cd*(cd - 1)*(2*cd + 5)) AS vu,
+         SUM(cd*(cd - 1)*(cd - 2)) AS vu2,
+         SUM(cd*(cd - 1)) AS yt11
+  FROM (SELECT feature, y_reg, CAST(COUNT(*) AS DOUBLE) AS cd
+        FROM kreal GROUP BY feature, y_reg)
+  GROUP BY feature
+),
+kvar AS (
+  SELECT k.feature, cp, cq,
+         SQRT(((t.n*(t.n - 1))/2.0 - xt_pairs) * ((t.n*(t.n - 1))/2.0 - yt_pairs)) AS denom,
+         ((((t.n*(t.n - 1)*(2*t.n + 5)) - vt) - vu)/18.0
+           + (xt11*yt11)/((2.0*t.n)*(t.n - 1)))
+           + CASE WHEN t.n > 2 THEN (vt2*vu2)/(((9.0*t.n)*(t.n - 1))*(t.n - 2)) ELSE 0.0 END AS var
+  FROM kpq k JOIN ktx USING (feature) JOIN kty USING (feature)
+       JOIN typed t USING (feature)
+),
+kd_res AS (
+  SELECT feature,
+         CASE WHEN denom = 0 THEN CAST(NULL AS DOUBLE)
+              WHEN var <= 0 THEN 1.0 END AS p_fixed,
+         CASE WHEN denom <> 0 AND var > 0 THEN
+           ABS(CAST(cp - cq AS DOUBLE) / SQRT(var))
+         END AS z
+  FROM kvar
+),
+-- ====== shared normal tail: p = min(1, erfc_nr(z / sqrt(2))) ======
+normals AS (
+  SELECT 'classification' AS task, feature, p_fixed, z FROM mw_res
+  UNION ALL SELECT 'regression', feature, p_fixed, z FROM kd_res
+),
+norm_p AS (
+  SELECT task, feature,
+         COALESCE(p_fixed,
+           LEAST(1.0, CASE WHEN x >= 0 THEN {_ERFC_POLY}
+                           ELSE 2.0 - {_ERFC_POLY} END)) AS p_raw
+  FROM (
+    SELECT task, feature, p_fixed, x, ABS(x) AS ax, 1.0/(1.0 + 0.5*ABS(x)) AS tt
+    FROM (SELECT task, feature, p_fixed, z / SQRT(2.0) AS x FROM normals)
+  )
+),
+-- ====== classification / binary -> Fisher exact (lgamma hypergeometric) ======
+fis AS (
+  SELECT m.feature,
+         COUNT(*) FILTER (WHERE m.value = t.mxv AND m.y_class = 1) AS a,
+         COUNT(*) FILTER (WHERE m.value = t.mxv AND m.y_class = 0) AS b,
+         COUNT(*) FILTER (WHERE m.value = t.mnv AND m.y_class = 1) AS c,
+         COUNT(*) FILTER (WHERE m.value = t.mnv AND m.y_class = 0) AS d
+  FROM melted m JOIN typed t USING (feature) WHERE t.nd = 2
+  GROUP BY m.feature
+),
+fis2 AS (
+  SELECT feature, a, a + b + c + d AS n, a + b AS row1, a + c AS col1 FROM fis
+),
+fis3 AS (
+  SELECT feature, n, row1, col1,
+         EXP((((LGAMMA(row1 + 1.0) - LGAMMA(a + 1.0)) - LGAMMA(row1 - a + 1.0))
+            + ((LGAMMA(n - row1 + 1.0) - LGAMMA(col1 - a + 1.0)) - LGAMMA(n - row1 - (col1 - a) + 1.0)))
+            - ((LGAMMA(n + 1.0) - LGAMMA(col1 + 1.0)) - LGAMMA(n - col1 + 1.0))) AS p_obs
+  FROM fis2
+),
+fisher_p AS (
+  SELECT feature,
+         LEAST(1.0, LIST_SUM(LIST_FILTER(LIST_TRANSFORM(
+           RANGE(0, LEAST(row1, col1) + 1),
+           k -> CASE WHEN col1 - k > n - row1 THEN 0.0
+                ELSE EXP((((LGAMMA(row1 + 1.0) - LGAMMA(k + 1.0)) - LGAMMA(row1 - k + 1.0))
+                        + ((LGAMMA(n - row1 + 1.0) - LGAMMA(col1 - k + 1.0)) - LGAMMA(n - row1 - (col1 - k) + 1.0)))
+                        - ((LGAMMA(n + 1.0) - LGAMMA(col1 + 1.0)) - LGAMMA(n - col1 + 1.0))) END),
+           pk -> pk <= p_obs * (1 + 1e-7)))) AS p_raw
+  FROM fis3
+),
+-- ====== regression / binary -> two-sample KS (asymptotic Kolmogorov) ======
+ksrows AS (
+  SELECT m.feature, m.y_reg AS tval,
+         CASE WHEN m.value = t.mnv THEN 0 ELSE 1 END AS grp
+  FROM melted m JOIN typed t USING (feature) WHERE t.nd = 2
+),
+ks_n AS (
+  SELECT feature,
+         COUNT(*) FILTER (WHERE grp = 0) AS n1,
+         COUNT(*) FILTER (WHERE grp = 1) AS n2
+  FROM ksrows GROUP BY feature
+),
+ks_d AS (
+  SELECT feature, MAX(ABS(c1 - c2)) AS d FROM (
+    SELECT r.feature,
+      SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) OVER w / g.n1 AS c1,
+      SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) OVER w / g.n2 AS c2
+    FROM ksrows r JOIN ks_n g USING (feature)
+    WINDOW w AS (PARTITION BY r.feature ORDER BY r.tval
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) GROUP BY feature
+),
+ks_lam AS (
+  SELECT d.feature, n1, n2,
+         ((SQRT((n1*n2) / (n1 + n2)) + 0.12) + 0.11/SQRT((n1*n2) / (n1 + n2))) * d AS lam
+  FROM ks_d d JOIN ks_n USING (feature)
+),
+ks_p AS (
+  SELECT feature,
+         CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+              WHEN lam <= 0 THEN 1.0
+              ELSE GREATEST(0.0, LEAST(1.0, 2.0 * LIST_SUM(LIST_TRANSFORM(
+                RANGE(1, 101),
+                j -> (CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                     * EXP(-2.0*j*j*lam*lam)))))
+         END AS p_raw
+  FROM ks_lam
+),
+-- ====== Benjamini-Yekutieli over the per-task testable features ======
+pvals AS (
+  SELECT task, feature, p_raw FROM norm_p
+  UNION ALL SELECT 'classification', feature, p_raw FROM fisher_p
+  UNION ALL SELECT 'regression', feature, p_raw FROM ks_p
+),
+ranked AS (
+  SELECT p.task, p.feature, ty.type, p.p_raw,
+         ROW_NUMBER() OVER (PARTITION BY p.task ORDER BY COALESCE(p.p_raw, 1.0)) AS k,
+         COUNT(*) OVER (PARTITION BY p.task) AS m,
+         COALESCE(p.p_raw, 1.0) AS p_bh
+  FROM pvals p JOIN types ty USING (feature)
+),
+cms AS (
+  SELECT DISTINCT task, m,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, m + 1), i -> 1.0/i)) AS cm
+  FROM ranked
+),
+kmax AS (
+  SELECT r.task, MAX(CASE WHEN r.p_bh <= (0.05 * r.k) / (r.m * c.cm) THEN r.k END) AS km
+  FROM ranked r JOIN cms c USING (task) GROUP BY r.task
+)
+SELECT r.task, r.feature, r.type, ROUND(r.p_raw, 6) AS p_value,
+       CAST(CASE WHEN r.k <= COALESCE(x.km, 0) THEN 1 ELSE 0 END AS INT) AS relevant
+FROM ranked r LEFT JOIN kmax x USING (task)
+UNION ALL
+SELECT t.task, ty.feature, ty.type, CAST(NULL AS DOUBLE), 0
+FROM (SELECT 'classification' AS task UNION ALL SELECT 'regression') t
+CROSS JOIN types ty WHERE ty.type = 'constant'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24-q25: near-duplicate pipelines.  The "portable" hash family replicates
 # verbatim in DuckDB SQL, so both pipelines are compared bit-for-bit
 # including the LSH banding and hot-bucket caps.
 # ---------------------------------------------------------------------------
@@ -1447,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "timewise_trend_hourly": q_timewise_trend,
+        "fresh_relevance": q_fresh_relevance,
     }
 
 
@@ -1477,4 +1787,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _ORACLE_SIMHASH,
         "timewise_trend_hourly": _ORACLE_TIMEWISE_TREND,
+        "fresh_relevance": _ORACLE_FRESH_RELEVANCE,
     }

@@ -26,10 +26,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsfresh_spark.kernels.helpers import normal_sf
-
 
 # ------------------------------------------------------------ the statistics
+
+
+def _nr_erfc(x: float) -> float:
+    """Complementary error function via the classic rational Chebyshev
+    approximation (the Numerical Recipes §6.2 form; FRACTIONAL error
+    < 1.2e-7 everywhere, including the deep tail).
+
+    Used here instead of ``math.erfc`` deliberately: it is plain
+    +,-,*,/ and one exp, so the DuckDB correctness oracle
+    (``fresh_relevance`` in ``__spark_entry__.py``) evaluates the IDENTICAL
+    expression and the p-values match bit-for-bit across engines.  The
+    1.2e-7 relative deviation from true erfc is far below any selection
+    decision threshold."""
+    z = abs(x)
+    t = 1.0 / (1.0 + 0.5 * z)
+    ans = t * math.exp(
+        -z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 + t * (0.09678418
+        + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 + t * (1.48851587
+        + t * (-0.82215223 + t * 0.17087277))))))))
+    )
+    return ans if x >= 0 else 2.0 - ans
+
+
+def normal_sf_portable(z: float) -> float:
+    """Standard-normal survival function on the portable erfc — the one
+    normal tail used by every selection-plane statistic."""
+    return 0.5 * _nr_erfc(z / math.sqrt(2.0))
 
 
 def _rankdata_average(x: np.ndarray) -> np.ndarray:
@@ -65,7 +90,7 @@ def _pvalue_mannwhitney(x: np.ndarray, y: np.ndarray) -> float:
     if var <= 0:
         return 1.0
     z = (abs(u1 - mu) - 0.5) / math.sqrt(var)
-    return min(1.0, 2.0 * normal_sf(z))
+    return min(1.0, 2.0 * normal_sf_portable(z))
 
 
 def _pvalue_ks(x: np.ndarray, y: np.ndarray) -> float:
@@ -166,7 +191,7 @@ def _pvalue_kendall(x: np.ndarray, y: np.ndarray) -> float:
     if var <= 0:
         return 1.0
     z = (P - Q) / math.sqrt(var)
-    return min(1.0, 2.0 * normal_sf(abs(z)))
+    return min(1.0, 2.0 * normal_sf_portable(abs(z)))
 
 
 # ------------------------------------------------------- multiple testing
