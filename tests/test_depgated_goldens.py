@@ -1,0 +1,317 @@
+"""Pinned NUMERIC goldens for the dep-gated kernels — the calculators whose
+reference implementation calls scipy/statsmodels/pywt/stumpy (absent in this
+sandbox for both repos, so tests/test_reference_crosscheck.py cannot execute
+them side-by-side).  Three evidence classes, strongest first:
+
+1. published values vendored from the reference's own test suite
+   (/root/reference/tests/units/feature_extraction/test_feature_calculations.py,
+   cited per test);
+2. closed-form analytic values (Hann-window periodogram identities,
+   noiseless-AR exact OLS recovery, published MacKinnon critical values);
+3. regression snapshots — pinned outputs of this engine on fixed inputs,
+   clearly labelled, guarding bit-stability where no external number exists
+   (the reference's own tests say "todo: add unit test for the values" for
+   cwt/welch).
+
+friedrich_coefficients / max_langevin_fixed_point graduated OUT of this
+file: their reference code is scipy-free, so they are executed side-by-side
+in test_reference_crosscheck.py (bit-level proof).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tsfresh_spark.kernels import KERNELS
+
+
+def k(name):
+    return KERNELS[name].func
+
+
+# ---------------------------------------------------------------- query sim
+
+
+def test_query_similarity_count_reference_numeric_golden():
+    """Reference test_feature_calculations.py:2017-2041 — seeded uniform
+    query/series, published counts 0 / 6 / 0 / 91."""
+    np.random.seed(42)
+    query = np.random.uniform(size=10)
+    x = np.random.uniform(size=100)
+    qs = k("query_similarity_count")
+
+    def one(cfg):
+        return list(qs(x, [cfg]))[0][1]
+
+    assert one({"query": query}) == 0.0
+    assert one({"query": query, "threshold": 3.0}) == 6.0
+    assert one({"query": query, "normalize": False}) == 0.0
+    assert one({"query": query, "threshold": 3.0, "normalize": False}) == 91.0
+
+
+# --------------------------------------------------------------- friedrich
+
+
+def test_friedrich_coefficients_reference_snapshot():
+    """Reference test_feature_calculations.py:2158-2199 — the published
+    30-point snapshot (assertAlmostEqual default 7 places)."""
+    x = np.array(
+        [-0.53, -0.61, -1.26, -0.88, -0.34, 0.58, 2.86, -0.47, 0.78, -0.45,
+         -0.27, 0.43, 1.72, 0.26, 1.02, -0.09, 0.65, 1.49, -0.95, -1.02,
+         -0.64, -1.63, -0.71, -0.43, -1.69, 0.05, 1.58, 1.1, 0.55, -1.02]
+    )
+    param = [{"coeff": c, "m": 2, "r": 30} for c in range(4)]
+    res = dict(k("friedrich_coefficients")(x, param))
+    assert res["coeff_0__m_2__r_30"] == pytest.approx(-0.24536975738843042, abs=1e-7)
+    assert res["coeff_1__m_2__r_30"] == pytest.approx(-0.533309548662685, abs=1e-7)
+    assert res["coeff_2__m_2__r_30"] == pytest.approx(0.2759399238199404, abs=1e-7)
+    assert np.isnan(res["coeff_3__m_2__r_30"])
+
+
+# -------------------------------------------------------------------- pacf
+
+
+def test_partial_autocorrelation_reference_numeric_cases():
+    """The four published cases of reference test_feature_calculations.py:
+    282-344, at the reference's own tolerances."""
+    pa = k("partial_autocorrelation")
+    lags = [{"lag": lag} for lag in range(10)]
+
+    # alternating series: lag_0 = 1, lag_1 = -1 (4 places), lag_2 NaN
+    res = dict(pa(np.array([1, 2, 1, 2, 1, 2], dtype=float), lags))
+    assert res["lag_0"] == pytest.approx(1.0, abs=1e-4)
+    assert res["lag_1"] == pytest.approx(-1.0, abs=1e-4)
+    assert np.isnan(res["lag_2"])
+
+    # linear signal: lag_1 ~ 1, lag_2 ~ 0 (2 places)
+    res = dict(pa(np.linspace(0, 1, 3000), lags))
+    assert res["lag_0"] == pytest.approx(1.0, abs=1e-2)
+    assert res["lag_1"] == pytest.approx(1.0, abs=1e-2)
+    assert res["lag_2"] == pytest.approx(0.0, abs=1e-2)
+
+    # seeded white noise: lag_1 ~ 0, lag_2 ~ 0 (1 place)
+    np.random.seed(42)
+    res = dict(pa(np.random.normal(size=3000), lags))
+    assert res["lag_1"] == pytest.approx(0.0, abs=0.05)
+    assert res["lag_2"] == pytest.approx(0.0, abs=0.05)
+
+    # seeded AR(1), phi=0.5: lag_1 ~ 0.5, lag_2 ~ 0 (1 place)
+    np.random.seed(42)
+    T = 3000
+    eps = np.random.randn(T)
+    x = np.repeat(1.0, T)
+    for t in range(T - 1):
+        x[t + 1] = 0.5 * x[t] + 2 + eps[t]
+    res = dict(pa(x, lags))
+    assert res["lag_1"] == pytest.approx(0.5, abs=0.05)
+    assert res["lag_2"] == pytest.approx(0.0, abs=0.05)
+
+    # pathological: zeros → lag_0 = 1, others NaN
+    res = dict(pa(np.zeros(100), lags))
+    assert res["lag_0"] == 1.0
+    assert all(np.isnan(v) for key, v in res.items() if key != "lag_0")
+
+
+# --------------------------------------------------------------------- ADF
+
+
+def test_adf_mackinnon_published_critical_values():
+    """The MacKinnon (2010) large-N critical values for the constant-only
+    ADF regression are published: tau = -3.43 / -2.86 / -2.57 at the
+    1% / 5% / 10% levels.  Our MacKinnon p-value re-derivation must return
+    (approximately) the nominal level at each published critical value."""
+    from tsfresh_spark.kernels.model import _mackinnon_pvalue
+
+    assert _mackinnon_pvalue(-3.43) == pytest.approx(0.01, abs=0.002)
+    assert _mackinnon_pvalue(-2.86) == pytest.approx(0.05, abs=0.002)
+    assert _mackinnon_pvalue(-2.57) == pytest.approx(0.10, abs=0.002)
+
+
+def test_adf_teststat_regression_snapshot():
+    """Regression pins (engine snapshot; the reference publishes no ADF
+    statistic values — its test says 'todo') on the reference's two seeded
+    test series: bit-stability of the OLS + AIC lag-selection path."""
+    rng = np.random.RandomState(42)
+    x = np.cumsum(rng.uniform(size=100))
+    param = [{"attr": a} for a in ["teststat", "pvalue", "usedlag"]]
+    res = dict(k("augmented_dickey_fuller")(x, param))
+    t_drift = res['attr_"teststat"__autolag_"AIC"']
+    rng = np.random.RandomState(42)
+    e = rng.normal(0.1, 0.1, size=100)
+    xs = [0.0] * 50
+    xs[0] = 100
+    for i in range(1, 50):
+        xs[i] = xs[i - 1] * 0.5 + e[i]
+    res2 = dict(k("augmented_dickey_fuller")(np.array(xs), param))
+    t_ar = res2['attr_"teststat"__autolag_"AIC"']
+    # snapshot values recorded 2026-08-16; drift only if the ADF pipeline
+    # (OLS, AIC autolag, MacKinnon interpolation) changes behavior.  Both
+    # also satisfy the reference's published directional assertions
+    # (p > 0.10 for the drift, p <= 0.05 for the AR(1)).
+    assert t_drift == pytest.approx(0.037063543418874384, rel=1e-9)
+    assert res['attr_"pvalue"__autolag_"AIC"'] == pytest.approx(
+        0.9614919743810806, rel=1e-9
+    )
+    assert t_ar == pytest.approx(-595.2595341200183, rel=1e-9)
+    assert res2['attr_"pvalue"__autolag_"AIC"'] == 0.0
+
+
+# ------------------------------------------------------------------- welch
+
+
+def test_spkt_welch_density_hann_analytic():
+    """Closed-form Hann-window periodogram identities (published DSP math,
+    not tied to any implementation): for x[n] = A·cos(2πkn/N) with one
+    N-sample segment, periodic Hann window w (Σw² = 3N/8) and density
+    scaling, the one-sided PSD is A²N/3 at bin k, A²N/12 at bins k±1, and 0
+    elsewhere (k not adjacent to DC/Nyquist)."""
+    N = 64
+    n = np.arange(N)
+    welch = k("spkt_welch_density")
+    for A in (1.0, 2.5):
+        x = A * np.cos(2 * np.pi * 8 * n / N)
+        res = dict(welch(x, [{"coeff": c} for c in (2, 7, 8, 9, 14)]))
+        assert res["coeff_8"] == pytest.approx(A * A * N / 3, rel=1e-9)
+        assert res["coeff_7"] == pytest.approx(A * A * N / 12, rel=1e-9)
+        assert res["coeff_9"] == pytest.approx(A * A * N / 12, rel=1e-9)
+        assert abs(res["coeff_2"]) < 1e-20
+        assert abs(res["coeff_14"]) < 1e-20
+
+
+def test_spkt_welch_density_out_of_range_nan():
+    """Reference test_feature_calculations.py:1045-1053: coeff beyond the
+    spectrum length is NaN."""
+    res = dict(k("spkt_welch_density")(np.arange(10), [{"coeff": 1}, {"coeff": 10}]))
+    assert np.isnan(res["coeff_10"])
+    assert np.isfinite(res["coeff_1"])
+
+
+# --------------------------------------------------------------------- cwt
+
+
+def test_cwt_coefficients_regression_snapshot():
+    """Regression pins (engine snapshot; the reference's own test says
+    'todo: add unit test for the values') for the pywt-mexh re-derivation on
+    a fixed seeded series — any change to the wavelet integration flags
+    here."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(20)
+    param = [
+        {"widths": (2, 5, 10), "coeff": c, "w": w} for c in (0, 5) for w in (2, 5)
+    ]
+    res = dict(k("cwt_coefficients")(x, param))
+    assert res["coeff_0__w_2__widths_(2, 5, 10)"] == pytest.approx(
+        1.674261362088799, rel=1e-12
+    )
+    assert res["coeff_0__w_5__widths_(2, 5, 10)"] == pytest.approx(
+        0.7643324917407478, rel=1e-12
+    )
+    assert res["coeff_5__w_2__widths_(2, 5, 10)"] == pytest.approx(
+        -0.9442832431483228, rel=1e-12
+    )
+    assert res["coeff_5__w_5__widths_(2, 5, 10)"] == pytest.approx(
+        -1.394972086222831, rel=1e-12
+    )
+
+
+def test_cwt_constant_signal_near_zero_interior():
+    """Analytic property: the Mexican-hat wavelet has zero mean, so the
+    response to a constant signal vanishes away from the boundary (up to
+    the integration-grid error of the pywt algorithm, ~1e-4)."""
+    x = np.full(40, 7.3)
+    res = dict(
+        k("cwt_coefficients")(x, [{"widths": (2,), "coeff": 20, "w": 2}])
+    )
+    assert abs(res["coeff_20__w_2__widths_(2,)"]) < 0.01
+
+
+# ---------------------------------------------------------- number_cwt_peaks
+
+
+def test_number_cwt_peaks_sine_analytic():
+    """A clean 4-period sine has exactly 4 maxima — the smoothed ricker
+    peak-finder must count them."""
+    t = np.linspace(0, 4 * 2 * np.pi, 400)
+    assert k("number_cwt_peaks")(np.sin(t), 5) == 4
+
+
+# ------------------------------------------------------------ ar_coefficient
+
+
+def test_ar_coefficient_noiseless_exact_recovery():
+    """Noiseless AR recursions: the Burg/OLS fit must recover the generating
+    coefficients to float precision (exact linear system, no noise) —
+    tightened from the reference's 1e-2 published tolerance to 1e-9."""
+    x = [1.0] + 9 * [0.0]
+    for i in range(1, 10):
+        x[i] = 2.5 * x[i - 1] + 1
+    res = dict(
+        k("ar_coefficient")(np.array(x), [{"k": 1, "coeff": 0}, {"k": 1, "coeff": 1}])
+    )
+    assert res["coeff_0__k_1"] == pytest.approx(1.0, abs=1e-9)
+    assert res["coeff_1__k_1"] == pytest.approx(2.5, abs=1e-9)
+
+    x = [1.0, 1.0] + 5 * [0.0]
+    for i in range(2, 7):
+        x[i] = (-2) * x[i - 2] + 3.5 * x[i - 1] + 1
+    res = dict(k("ar_coefficient")(np.array(x), [{"k": 2, "coeff": c} for c in range(3)]))
+    assert res["coeff_0__k_2"] == pytest.approx(1.0, abs=1e-9)
+    assert res["coeff_1__k_2"] == pytest.approx(3.5, abs=1e-9)
+    assert res["coeff_2__k_2"] == pytest.approx(-2.0, abs=1e-9)
+
+
+# ------------------------------------------------------------ linear trends
+
+
+def test_linear_trend_exact_affine():
+    """y = 3x + 2 noiseless: every attribute is analytically forced."""
+    param = [{"attr": a} for a in ["pvalue", "rvalue", "intercept", "slope", "stderr"]]
+    res = dict(k("linear_trend")(3.0 * np.arange(12) + 2.0, param))
+    assert res['attr_"slope"'] == pytest.approx(3.0, abs=1e-9)
+    assert res['attr_"intercept"'] == pytest.approx(2.0, abs=1e-9)
+    assert res['attr_"rvalue"'] == pytest.approx(1.0, abs=1e-9)
+    assert res['attr_"pvalue"'] == pytest.approx(0.0, abs=1e-9)
+    assert res['attr_"stderr"'] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_agg_linear_trend_nan_chunk_reference_cases():
+    """Reference test_feature_calculations.py:1752-1794: leading-NaN chunks
+    poison the whole fit; once complete chunks remain, the flat tail fits
+    intercept -3 / slope 0; median f_agg matches the published range(9)
+    case (intercept 1, slope 3)."""
+    alt = k("agg_linear_trend")
+    param = [
+        {"attr": a, "chunk_len": 3, "f_agg": f}
+        for f in ["max", "min", "mean", "median"]
+        for a in ["intercept", "slope"]
+    ]
+    res = dict(alt(pd.Series([np.nan, np.nan, np.nan, -3.0, -3.0, -3.0]), param))
+    assert all(np.isnan(v) for v in res.values())
+
+    res = dict(alt(pd.Series([np.nan, np.nan, -3.0, -3.0, -3.0, -3.0]), param))
+    for f in ["max", "min", "mean", "median"]:
+        assert res[f'attr_"intercept"__chunk_len_3__f_agg_"{f}"'] == pytest.approx(-3.0)
+        assert res[f'attr_"slope"__chunk_len_3__f_agg_"{f}"'] == pytest.approx(0.0)
+
+    res = dict(alt(pd.Series(range(9)), param))
+    assert res['attr_"intercept"__chunk_len_3__f_agg_"median"'] == pytest.approx(1.0)
+    assert res['attr_"slope"__chunk_len_3__f_agg_"median"'] == pytest.approx(3.0)
+
+    # ndarray + median is an AttributeError in the reference pipeline too
+    # (_aggregate_on_chunks dispatches on the chunk's own methods and
+    # agg_linear_trend is not marked input="pd.Series")
+    with pytest.raises(AttributeError):
+        alt(np.arange(9), [{"attr": "slope", "chunk_len": 3, "f_agg": "median"}])
+
+
+# ------------------------------------------------------------ matrix profile
+
+
+def test_matrix_profile_gated_like_reference():
+    """The optional matrixprofile dependency is absent → the calculator is
+    registered but unavailable and raises ImportError, mirroring the
+    reference's dependency gate (settings.py:282-293)."""
+    info = KERNELS["matrix_profile"]
+    assert info.available is False
+    with pytest.raises(ImportError):
+        info.func(np.arange(10.0), [{"threshold": 0.98, "feature": "min"}])

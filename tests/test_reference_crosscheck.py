@@ -27,8 +27,11 @@ DEP_GATED = {
     "partial_autocorrelation", "augmented_dickey_fuller", "ar_coefficient",
     "linear_trend", "agg_linear_trend", "matrix_profile",
     "query_similarity_count", "linear_trend_timewise", "fourier_entropy",
-    "friedrich_coefficients", "max_langevin_fixed_point",
 }
+# friedrich_coefficients / max_langevin_fixed_point are NOT dep-gated: the
+# reference implementation is pure numpy+pandas (feature_calculators.py:
+# 131-173, 2082-2167), so our numpy qcut re-derivation is executed
+# side-by-side against the reference's real pd.qcut path below.
 
 
 def _stub(name, **attrs):

@@ -54,14 +54,26 @@ def sliding_windows(x: np.ndarray, width: int, step: int = 1) -> np.ndarray:
     return x[starts[:, None] + np.arange(width)[None, :]]
 
 
-def chunked_aggregate(x: np.ndarray, f_agg: str, chunk_len: int) -> list:
+def chunked_aggregate(x, f_agg: str, chunk_len: int) -> list:
     """Downsample by aggregating consecutive chunks.
 
     Equivalent of ``_aggregate_on_chunks`` (feature_calculators.py:176-193):
-    the aggregation is looked up as a *method of the array chunk* (so "var" /
-    "std" are the numpy ddof=0 estimators, exactly as in the reference where
-    x arrives as an ndarray).
+    the aggregation is looked up as a *method of the chunk of the original
+    container*.  For ndarray input that means numpy ddof=0 "var"/"std" and
+    AttributeError for "median" (no ndarray method) — exactly what the
+    reference's extraction pipeline does, since agg_linear_trend is not
+    marked input="pd.Series".  For pd.Series input (the reference's own
+    test-suite path) pandas semantics apply: skipna reductions, ddof=1
+    "var", "median" available.
     """
+    import pandas as pd
+
+    if isinstance(x, pd.Series):
+        n = len(x)
+        return [
+            getattr(x.iloc[i * chunk_len : (i + 1) * chunk_len], f_agg)()
+            for i in range(int(np.ceil(n / chunk_len)))
+        ]
     x = np.asarray(x)
     n = len(x)
     n_full = n // chunk_len
@@ -296,7 +308,12 @@ def levinson_durbin_pacf(x: np.ndarray, nlags: int) -> np.ndarray:
         dtype=float,
     )
     if acov[0] == 0:
-        return np.full(nlags + 1, np.nan)
+        # constant series: statsmodels levinson_durbin still pins
+        # pacf[0] = 1.0; the 0/0 recursion makes every later lag NaN (the
+        # reference's zeros(100) test case asserts exactly this split)
+        out = np.full(nlags + 1, np.nan)
+        out[0] = 1.0
+        return out
     phi = np.zeros((nlags + 1, nlags + 1))
     sig = np.zeros(nlags + 1)
     with np.errstate(all="ignore"):

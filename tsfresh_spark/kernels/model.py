@@ -300,7 +300,12 @@ def _friedrich_coefficients(x, m, r):
         return [np.nan] * (m + 1)
     signal = x[:-1]
     delta = np.diff(x)
-    edges = np.quantile(signal, np.linspace(0.0, 1.0, r + 1))
+    # np.percentile(·, q*100), NOT np.quantile(·, q): pandas Series.quantile
+    # (what pd.qcut calls) routes through nanpercentile with q*100, and the
+    # ×100 round-trip shifts edges by ~1 ulp — enough to move points sitting
+    # exactly on a quantile into the neighbouring bin.  Verified bit-equal to
+    # the reference's pd.qcut path in tests/test_reference_crosscheck.py.
+    edges = np.percentile(signal, np.linspace(0.0, 1.0, r + 1) * 100)
     if len(np.unique(edges)) != len(edges):
         return [np.nan] * (m + 1)
     bins = np.clip(np.searchsorted(edges, signal, side="left") - 1, 0, r - 1)
