@@ -4,10 +4,21 @@
 JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ..., "tokens_per_sec": ...}
+     "queries": {name: sec, ...}, "history": {name: [sec, ...]}, ...}
+
+Variance control: this host swings up to ±2x run-to-run (shared
+frequency/cache/membw), so every query runs in N_PASSES interleaved passes
+over the whole suite (pass 1 all queries, pass 2 all queries — the
+bench_scaling.py pattern, so a slow host phase hits every query equally,
+not one unlucky query).  The reported per-query number is the MIN across
+passes — the stable engine-speed signal — and the full per-pass history is
+embedded in the JSON so any cross-round comparison can check the spread
+instead of chasing single-shot noise.
 
 Every query is materialized through a full-column checksum sink
 (sum of xxhash64 over all columns) so Catalyst cannot prune the work.
+ANN quality (recall@3 of the IVF and LSH paths vs the brute-force scorer
+over the embeddings table) is measured alongside the timings.
 """
 
 from __future__ import annotations
@@ -20,6 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
+
+N_PASSES = 2
 
 
 def materialize(df) -> int:
@@ -38,6 +51,48 @@ def materialize(df) -> int:
     return row["checksum"] or 0
 
 
+def ann_quality(spark, sf_dir: str, history: dict) -> dict:
+    """recall@3 of the approximate similarity paths vs the exact scorer,
+    plus their wall times (single pass; the recall numbers are exact and
+    deterministic, only the timing is environmental)."""
+    from tsfresh_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 32)
+
+    def pairs(df):
+        return {(r.qid, r.nid) for r in df.collect()}
+
+    # the synthetic embeddings are near-random (top-1 cosine ~0.37, no
+    # cluster structure) — the WORST case for ANN, so ≥0.9 recall needs
+    # generous probing: IVF scans n_probe/n_lists = 50% of cells, LSH uses
+    # 16 OR-amplified tables of 3 planes.  On real clustered embeddings the
+    # same recall comes far cheaper.
+    out = {}
+    t0 = time.perf_counter()
+    exact = pairs(cosine_topk_bruteforce(emb, queries, k=3))
+    out["cosine_topk_bruteforce_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ivf = pairs(cosine_topk_ivf(emb, queries, k=3, n_lists=32, n_probe=16))
+    out["cosine_topk_ivf_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    lsh = pairs(
+        cosine_topk_lsh(
+            emb, queries, k=3, dim=dim, num_planes=3, num_tables=16
+        )
+    )
+    out["cosine_topk_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    out["ivf_recall_at_3"] = round(len(exact & ivf) / len(exact), 4)
+    out["lsh_recall_at_3"] = round(len(exact & lsh) / len(exact), 4)
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -52,12 +107,10 @@ def main() -> None:
 
     import __spark_entry__ as em
     from tsfresh_spark.extract import extract_features_tokens
-    from tsfresh_spark.settings import efficient_settings
+    from tsfresh_spark.settings import efficient_settings, minimal_settings
 
     # untimed warmup: spawn the python workers and read the parquet footers
     # once, so the first timed query isn't charged session fixed costs
-    from tsfresh_spark.settings import minimal_settings
-
     warm = em._events_tokens_longid(spark, sf_dir).limit(64)
     materialize(
         extract_features_tokens(
@@ -65,48 +118,51 @@ def main() -> None:
         )
     )
 
-    timings: dict[str, float] = {}
-    for name, fn in em.queries().items():
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators may persist() internal frames (dedup staging); drop them
-        # so later workloads measure on a clean executor-storage slate
-        spark.catalog.clearCache()
+    history: dict[str, list[float]] = {}
+    qfns = em.queries()
+    for _pass in range(N_PASSES):
+        for name, fn in qfns.items():
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            history.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+            # operators may persist() internal frames (dedup staging); drop
+            # them so later workloads measure on a clean storage slate
+            spark.catalog.clearCache()
+    timings = {name: min(runs) for name, runs in history.items()}
 
-    def best_of(n: int, fn):
-        """min over n runs — this host swings ±2x run-to-run (frequency/
-        cache sharing), so the min is the stable engine-speed signal"""
-        best = float("inf")
+    def repeat(name: str, n: int, fn):
+        runs = []
         for _ in range(n):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        return best
+            runs.append(round(time.perf_counter() - t0, 3))
+        history[name] = runs
+        timings[name] = min(runs)
+        return min(runs)
 
     # events-derived tokens (short series — per-series overhead regime)
     toks = em._events_tokens_longid(spark, sf_dir).cache()
     ev_tokens = toks.select(F.sum(F.size("tokens"))).collect()[0][0]
-    dt = best_of(2, lambda: materialize(
+    dt = repeat("extract_efficient_kernels", 2, lambda: materialize(
         extract_features_tokens(
             toks, efficient_settings(), id_col="user_id", kind_col="event_type"
         )
     ))
-    timings["extract_efficient_kernels"] = round(dt, 3)
     events_tokens_per_sec = round(ev_tokens / dt, 1)
 
     # the flagship rollup workload: the north-star corpus shape
     # (doc_id, tokens[16..2048], n_tok, source), efficient kernel family —
-    # tokens/sec here is the headline metric
+    # tokens/sec here is the headline metric, so it gets 3 repeats
     from tsfresh_spark.sources.synthetic import tokens_corpus
 
     n_docs = int(2000 * max(sf / 0.01, 1.0)) if sf > 0 else 2000
     corpus = tokens_corpus(spark, n_docs, n_partitions=cpus * 8).cache()
     total_tokens = corpus.select(F.sum("n_tok")).collect()[0][0]
-    dt = best_of(2, lambda: materialize(
+    dt = repeat("extract_corpus_efficient", 3, lambda: materialize(
         extract_features_tokens(corpus, efficient_settings(), output="map")
     ))
-    timings["extract_corpus_efficient"] = round(dt, 3)
     tokens_per_sec = round(total_tokens / dt, 1)
 
     # the full ComprehensiveFCParameters family (788 features/kind incl. the
@@ -116,11 +172,12 @@ def main() -> None:
 
     comp = tokens_corpus(spark, 1500, n_partitions=cpus * 8).cache()
     comp_tokens = comp.select(F.sum("n_tok")).collect()[0][0]
-    dt = best_of(2, lambda: materialize(
+    dt = repeat("extract_comprehensive_1500docs", 2, lambda: materialize(
         extract_features_tokens(comp, comprehensive_settings(), output="map")
     ))
-    timings["extract_comprehensive_1500docs"] = round(dt, 3)
     comprehensive_tokens_per_sec = round(comp_tokens / dt, 1)
+
+    ann = ann_quality(spark, sf_dir, history)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -130,12 +187,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "history": history,
+                "passes": N_PASSES,
                 "sf": sf,
                 "tokens_per_sec": tokens_per_sec,
                 "total_tokens": int(total_tokens),
                 "events_tokens_per_sec": events_tokens_per_sec,
                 "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
+                "ann": ann,
                 "cpus": cpus,
+                "method": (
+                    f"min over {N_PASSES} interleaved full-suite passes "
+                    "(host swings ±2x; min is the engine-speed signal, "
+                    "history carries the spread)"
+                ),
             }
         )
     )

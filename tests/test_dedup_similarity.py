@@ -183,3 +183,33 @@ def test_ivf_topk_recall(spark, vectors):
     assert recall >= 0.8
     merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
     assert (merged.sim_a == merged.sim_e).all()
+
+
+def test_lsh_multitable_recall_beats_single(spark, vectors):
+    """OR-amplification: L independent tables strictly widen the candidate
+    set, so recall is monotone in num_tables, and each hit keeps the exact
+    cosine score."""
+    from tsfresh_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    queries = vectors.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk_bruteforce(vectors, queries, k=3).toPandas()
+    exact_pairs = {(r.qid, r.nid) for _, r in exact.iterrows()}
+
+    def recall(num_tables):
+        approx = cosine_topk_lsh(
+            vectors, queries, k=3, dim=16, num_planes=6, num_tables=num_tables
+        ).toPandas()
+        got = {(r.qid, r.nid) for _, r in approx.iterrows()}
+        return len(exact_pairs & got) / len(exact_pairs), approx
+
+    r1, _ = recall(1)
+    r8, approx8 = recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.9
+    merged = approx8.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
+    assert (merged.sim_a == merged.sim_e).all()
+    # dedup guard: no (qid, nid) appears twice even when tables collide
+    assert not approx8.duplicated(["qid", "nid"]).any()

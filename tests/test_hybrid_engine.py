@@ -75,15 +75,69 @@ def test_hybrid_minimal_is_pure_jvm(spark, tokens_df):
     assert "Exchange" not in plan
 
 
-def test_hybrid_rejects_unsupported_combos(spark, tokens_df):
-    with pytest.raises(ValueError):
-        extract_features_tokens(
-            tokens_df, {"mean": None}, engine="hybrid", output="map"
-        )
-    with pytest.raises(ValueError):
-        extract_features_tokens(
-            tokens_df,
-            {"mean": None},
-            engine="hybrid",
-            kind_to_settings={"web": {"mean": None}},
-        )
+def test_hybrid_pure_catalyst_map_no_python(spark, tokens_df):
+    """Fully-covered settings + map output: one narrow JVM-only projection
+    (no python evaluation, no shuffle)."""
+    settings = {
+        k: v
+        for k, v in minimal_settings().items()
+        if k not in ("variance", "standard_deviation")
+    }
+    df = extract_features_tokens(
+        tokens_df, settings, engine="hybrid", output="map"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_hybrid_map_output_equals_kernels(spark, tokens_df):
+    """Map output: the covered-Catalyst map ++ remainder-UDF map must equal
+    the kernel path's map bit-for-bit (NaN⇔NULL through Arrow aside)."""
+    settings = minimal_settings()
+    a = extract_features_tokens(
+        tokens_df, settings, engine="kernels", output="map"
+    ).toPandas().set_index("doc_id")
+    b = extract_features_tokens(
+        tokens_df, settings, engine="hybrid", output="map"
+    ).toPandas().set_index("doc_id")
+    assert sorted(a.index) == sorted(b.index)
+    for doc in a.index:
+        fa, fb = dict(a.loc[doc, "features"]), dict(b.loc[doc, "features"])
+        assert fa.keys() == fb.keys()
+        for key in fa:
+            va, vb = fa[key], fb[key]
+            assert (pd.isna(va) and pd.isna(vb)) or va == vb, (doc, key, va, vb)
+    # and the plan stays shuffle-free
+    plan = extract_features_tokens(
+        tokens_df, settings, engine="hybrid", output="map"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hybrid_kind_to_settings_equals_kernels(spark, tokens_df):
+    """Per-kind expression sets: each kind routes through its own hybrid
+    split and the union equals the kernel path with the same routing."""
+    per_kind = {"web": minimal_settings(), "code": {"maximum": None, "abs_energy": None}}
+    base = {"minimum": None}
+    kw = dict(kind_to_settings=per_kind)
+    a = _collect(
+        extract_features_tokens(tokens_df, base, engine="kernels", **kw)
+    )
+    b = _collect(
+        extract_features_tokens(tokens_df, base, engine="hybrid", **kw)
+    )
+    assert list(a.variable) == list(b.variable)
+    va, vb = a.value.values, b.value.values
+    both_nan = pd.isna(va) & pd.isna(vb)
+    assert (both_nan | (va == vb)).all()
+
+    # map + kind_to_settings composes too
+    m = extract_features_tokens(
+        tokens_df, base, engine="hybrid", output="map", **kw
+    ).toPandas()
+    assert len(m) == tokens_df.count()
+    web = m[m.source == "web"].iloc[0].features
+    code = m[m.source == "code"].iloc[0].features
+    assert set(k.split("__")[1] for k in web) == set(minimal_settings())
+    assert set(k.split("__")[1] for k in code) == {"maximum", "abs_energy"}

@@ -85,3 +85,75 @@ def test_windowed_stream_matches_batch(spark, event_files):
         assert row.n_points.iloc[0] == len(grp)
         checked += 1
     assert checked >= 4
+
+
+def test_windowed_stream_equals_rollup_tier_bitexact(spark, tmp_path_factory):
+    """The stream==batch invariant against the REAL batch plane: the same
+    gap-free corpus through (a) windowed_feature_stream (file source, one
+    availableNow trigger) and (b) RollupEngine.compute_base → compute_tier
+    (compact base + Gorilla codec + narrow cascade) must produce IDENTICAL
+    feature maps, bit for bit.  On a gap-free regular grid the base-tier
+    gap-fill is the identity, so the two planes are exactly comparable."""
+    from tsfresh_spark.operators.rollup import RollupEngine
+
+    src = str(tmp_path_factory.mktemp("stream_rollup_src"))
+    step, hours = 300, 5  # 5-minute grid, 5 full hours + 1 sentinel hour
+    rows = []
+    for doc, source in [("d1", "web"), ("d2", "code")]:
+        for i in range(12 * hours + 1):  # +1 event pushes the watermark
+            ts = T0 + dt.timedelta(seconds=i * step)
+            rows.append((doc, source, ts, float((i * 37 + len(doc)) % 100)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "ts", "value"])
+    spark.createDataFrame(pdf).repartition(3).write.mode("overwrite").parquet(src)
+    settings = minimal_settings()
+    cutoff = T0 + dt.timedelta(hours=hours)
+
+    # streaming plane
+    schema = "doc_id string, source string, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = windowed_feature_stream(
+        stream,
+        settings,
+        id_cols=["doc_id", "source"],
+        window="1 hour",
+        watermark="0 seconds",
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("feat_stream_rollup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = spark.sql("select * from feat_stream_rollup").toPandas()
+    got = got[got.window_start < cutoff]
+
+    # batch plane: the real rollup engine (compact base, codec, cascade)
+    eng = RollupEngine(
+        spark,
+        src + "-tiers",
+        settings=settings,
+        id_cols=("doc_id", "source"),
+        base_step_seconds=step,
+        base_impl="compact",
+    )
+    points = spark.read.parquet(src).select(
+        "doc_id",
+        "source",
+        F.col("ts").cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    tier = eng.compute_tier(eng.compute_base(points), 3600).toPandas()
+    tier["window_start"] = pd.to_datetime(tier.window_start, unit="s")
+    tier = tier[tier.window_start < cutoff]
+
+    assert len(got) == len(tier) == 2 * hours
+    gkey = got.set_index(["doc_id", "source", "window_start"]).sort_index()
+    tkey = tier.set_index(["doc_id", "source", "window_start"]).sort_index()
+    assert list(gkey.index) == list(tkey.index)
+    for idx in gkey.index:
+        sf = dict(gkey.loc[idx, "features"])
+        bf = dict(tkey.loc[idx, "features"])
+        assert sf == bf, (idx, sf, bf)  # exact float equality, no tolerance
+        assert gkey.loc[idx, "n_points"] == tkey.loc[idx, "n_points"] == 12

@@ -229,12 +229,14 @@ def extract_features_tokens(
         raise ValueError("engine must be 'kernels' or 'hybrid'")
     _validate_settings(settings, kind_to_settings)
     if engine == "hybrid":
-        if kind_to_settings:
-            raise ValueError("hybrid engine does not support kind_to_settings")
-        if output != "long":
-            raise ValueError("hybrid engine produces long output")
         return _extract_tokens_hybrid(
-            df, settings, id_col=id_col, tokens_col=tokens_col, kind_col=kind_col
+            df,
+            settings,
+            id_col=id_col,
+            tokens_col=tokens_col,
+            kind_col=kind_col,
+            kind_to_settings=kind_to_settings,
+            output=output,
         )
 
     id_field = df.schema[id_col]
@@ -301,6 +303,23 @@ def extract_features_tokens(
     return df.select(id_col, tokens_col, kind_col).mapInPandas(run, schema=schema)
 
 
+def _rest_map_udf(settings: dict):
+    """Scalar Arrow UDF computing the kernel-remainder feature map per row —
+    lets the hybrid map output stay a single narrow projection
+    (covered Catalyst map ++ remainder map), zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,double>")
+    def _compute(tokens: pd.Series, kinds: pd.Series) -> pd.Series:
+        out = []
+        for toks, kind in zip(tokens.values, kinds.values):
+            x = np.asarray(toks, dtype=np.int64)
+            out.append(dict(compute_series_features(x, str(kind), settings)))
+        return pd.Series(out)
+
+    return _compute
+
+
 def _extract_tokens_hybrid(
     df: DataFrame,
     settings: dict,
@@ -308,12 +327,71 @@ def _extract_tokens_hybrid(
     id_col: str,
     tokens_col: str,
     kind_col: str,
+    kind_to_settings: dict | None = None,
+    output: str = "long",
 ) -> DataFrame:
     """Catalyst expressions for the coverable subset + kernel UDF for the
-    rest, unioned in the long form.  Both branches are narrow maps."""
+    rest.  Long output unions an exploded Catalyst branch with the kernel
+    branch; map output builds ``map_from_entries(covered) ++ rest_udf`` as
+    one narrow projection.  Every shape is shuffle-free.
+
+    ``kind_to_settings`` routes each listed kind through its own expression
+    split via a filtered branch per kind (filters push to the scan; the
+    number of kinds is small, so the extra scans are cheap and each branch
+    keeps its own fully-compiled Catalyst plan)."""
     from tsfresh_spark.functions.sql_features import hybrid_plan
 
+    if kind_to_settings:
+        kinds = list(kind_to_settings)
+        branches = [
+            _extract_tokens_hybrid(
+                df.filter(F.col(kind_col) == k),
+                kind_to_settings[k],
+                id_col=id_col,
+                tokens_col=tokens_col,
+                kind_col=kind_col,
+                output=output,
+            )
+            for k in kinds
+        ]
+        branches.append(
+            _extract_tokens_hybrid(
+                df.filter(~F.col(kind_col).isin(kinds)),
+                settings,
+                id_col=id_col,
+                tokens_col=tokens_col,
+                kind_col=kind_col,
+                output=output,
+            )
+        )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
     covered, rest = hybrid_plan(tokens_col, settings)
+    if output == "map":
+        feat = None
+        if covered:
+            feat = F.map_from_entries(
+                F.array(
+                    *[
+                        F.struct(
+                            F.concat(
+                                F.col(kind_col), F.lit(f"__{suffix}")
+                            ).alias("key"),
+                            expr.cast("double").alias("value"),
+                        )
+                        for suffix, expr in covered
+                    ]
+                )
+            )
+        if rest:
+            rest_map = _rest_map_udf(rest)(F.col(tokens_col), F.col(kind_col))
+            feat = rest_map if feat is None else F.map_concat(feat, rest_map)
+        return df.select(
+            F.col(id_col), F.col(kind_col), feat.alias("features")
+        )
     parts = []
     if covered:
         entries = F.array(

@@ -77,15 +77,32 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec_col, dim: int, num_planes: int = 12):
-    """Sign-pattern bucket id from ``num_planes`` random hyperplanes."""
+def lsh_bucket_expr(vec_col, dim: int, num_planes: int = 12, plane_offset: int = 0):
+    """Sign-pattern bucket id from ``num_planes`` random hyperplanes.
+    ``plane_offset`` selects an independent plane family — the building
+    block for multi-table (OR-amplified) LSH."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_offset + p)])
         sign_bit = (_dot(v, plane) > 0).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(sign_bit, p))
     return bucket
+
+
+def _lsh_keys(vec_col, dim: int, num_planes: int, num_tables: int):
+    """array<struct<tbl,bkt>> — one independent sign-bucket per table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(
+                    vec_col, dim, num_planes, plane_offset=t * num_planes
+                ).alias("bkt"),
+            )
+            for t in range(num_tables)
+        ]
+    )
 
 
 def cosine_topk_ivf(
@@ -202,27 +219,44 @@ def cosine_topk_lsh(
     dim: int,
     k: int = 3,
     num_planes: int = 10,
+    num_tables: int = 1,
     round_digits: int | None = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH sign-bucket with the query;
-    exact cosine re-ranks within the bucket.  Recall rises with fewer planes
-    (bigger buckets); cost falls with more planes."""
+    """Approximate top-k: candidates share an LSH sign-bucket with the query
+    in at least one of ``num_tables`` independent tables (OR-amplification);
+    exact cosine re-ranks the deduplicated candidates.
+
+    Tuning: recall per table rises with fewer planes (bigger buckets) and
+    overall recall with more tables — for neighbors at angle θ the hit
+    probability is 1-(1-(1-θ/π)^planes)^tables.  Candidate volume (the cost)
+    is ~ tables × corpus/2^planes per query.  On a cluster the bucket join
+    shuffles on (table, bucket); hot buckets split fine under AQE since the
+    bucket key is the join key."""
     c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("emb"),
-    ).withColumn("bucket", lsh_bucket_expr("emb", dim, num_planes))
+    ).withColumn("key", F.explode(_lsh_keys("emb", dim, num_planes, num_tables)))
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qemb"),
-    ).withColumn("bucket", lsh_bucket_expr("qemb", dim, num_planes))
+    ).withColumn("key", F.explode(_lsh_keys("qemb", dim, num_planes, num_tables)))
     sim = _cosine(F.col("emb"), F.col("qemb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    pairs = (
-        c.join(F.broadcast(q), on="bucket")
+    candidates = (
+        c.join(F.broadcast(q), on="key")
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", sim.alias("sim"))
+        .select("qid", "nid", "emb", "qemb")
     )
+    if num_tables > 1:
+        # a pair can collide in several tables — score each candidate once
+        w_first = Window.partitionBy("qid", "nid").orderBy(F.lit(1))
+        candidates = (
+            candidates.withColumn("dup", F.row_number().over(w_first))
+            .filter(F.col("dup") == 1)
+            .drop("dup")
+        )
+    pairs = candidates.select("qid", "nid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
