@@ -1560,6 +1560,83 @@ CROSS JOIN types ty WHERE ty.type = 'constant'
 
 
 # ---------------------------------------------------------------------------
+# q27: embedding-cosine near-dup — the semantic dedup flavor.  The
+# hyperplane family is a deterministic hash mix whose exact float64 values
+# embed as literals on BOTH sides, so the full pipeline (multi-table
+# sign-LSH buckets, hot-bucket cap, candidate join, cosine verify) replays
+# in DuckDB.
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_EMB_PLANES = 3
+_EMB_TABLES = 8
+_EMB_CAP = 64
+_EMB_THRESHOLD = 0.35
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=_EMB_DIM,
+        threshold=_EMB_THRESHOLD,
+        num_planes=_EMB_PLANES,
+        num_tables=_EMB_TABLES,
+        max_bucket_size=_EMB_CAP,
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("cosine").cast("double"),
+    )
+
+
+def _embedding_neardup_oracle_sql() -> str:
+    from tsfresh_spark.operators.similarity import _hyperplane
+
+    tables = []
+    for t in range(_EMB_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN LIST_DOT_PRODUCT(emb, "
+            f"{_hyperplane(_EMB_DIM, t * _EMB_PLANES + p)!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_EMB_PLANES)
+        )
+        tables.append(f"SELECT id, emb, {t} AS tbl, {bits} AS bkt FROM e")
+    keys_sql = "\nUNION ALL ".join(tables)
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+keys AS (
+{keys_sql}
+),
+capped AS (
+  SELECT id, tbl, bkt FROM (
+    SELECT id, tbl, bkt,
+           ROW_NUMBER() OVER (PARTITION BY tbl, bkt ORDER BY id) AS rn
+    FROM keys
+  ) WHERE rn <= {_EMB_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(LIST_DOT_PRODUCT(ea.emb, eb.emb)
+               / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
+                  * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))), 6) AS cosine
+  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_EMB_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q24-q25: near-duplicate pipelines.  The "portable" hash family replicates
 # verbatim in DuckDB SQL, so both pipelines are compared bit-for-bit
 # including the LSH banding and hot-bucket caps.
@@ -1757,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "timewise_trend_hourly": q_timewise_trend,
         "fresh_relevance": q_fresh_relevance,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -1788,4 +1866,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _ORACLE_SIMHASH,
         "timewise_trend_hourly": _ORACLE_TIMEWISE_TREND,
         "fresh_relevance": _ORACLE_FRESH_RELEVANCE,
+        "embedding_near_dups": _embedding_neardup_oracle_sql(),
     }

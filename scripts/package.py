@@ -23,9 +23,10 @@ def main() -> str:
                     continue
                 full = os.path.join(root, name)
                 zf.write(full, os.path.relpath(full, REPO))
-    print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    # print only in CLI use — library callers (bench.py, __spark_entry__)
+    # must keep stdout clean for the driver's one-JSON-line contract
+    print(main())

@@ -213,3 +213,29 @@ def test_lsh_multitable_recall_beats_single(spark, vectors):
     assert (merged.sim_a == merged.sim_e).all()
     # dedup guard: no (qid, nid) appears twice even when tables collide
     assert not approx8.duplicated(["qid", "nid"]).any()
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    """Semantic dedup: clustered vectors yield same-label high-cosine pairs;
+    the hot-bucket cap bounds candidate fan-out; pairs are unique and
+    ordered id_a < id_b."""
+    from tsfresh_spark.operators.dedup import embedding_near_duplicates
+
+    out = embedding_near_duplicates(
+        vectors, dim=16, threshold=0.8, num_planes=2, num_tables=6
+    ).toPandas()
+    assert len(out) > 0
+    assert (out.id_a < out.id_b).all()
+    assert not out.duplicated(["id_a", "id_b"]).any()
+    assert (out.cosine >= 0.8).all()
+    labels = vectors.toPandas().set_index("vec_id").label
+    same = sum(labels[a] == labels[b] for a, b in zip(out.id_a, out.id_b))
+    assert same / len(out) >= 0.95  # high-cosine pairs live inside clusters
+
+    capped = embedding_near_duplicates(
+        vectors, dim=16, threshold=0.0, num_planes=1, num_tables=1,
+        max_bucket_size=3,
+    ).toPandas()
+    # cap=3 per bucket → at most C(3,2)=3 pairs per (table, bucket); with
+    # 1 plane there are 2 buckets → ≤ 6 candidate pairs survive
+    assert len(capped) <= 6

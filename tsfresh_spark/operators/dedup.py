@@ -518,3 +518,67 @@ def simhash_near_duplicates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-duplicates (the fifth dedup flavor: semantic dedup)
+# --------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 3,
+    num_tables: int = 8,
+    max_bucket_size: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: ``(id_a, id_b, cosine)`` with
+    ``cosine >= threshold`` among vectors that share a sign-LSH bucket in at
+    least one of ``num_tables`` tables.
+
+    The scale shape mirrors :func:`minhash_near_duplicates`: candidate
+    generation is a self-join on (table, bucket) keys — never all-pairs —
+    with the same deterministic ``max_bucket_size`` hot-bucket cap
+    (row_number by id), then exact cosine verification on the candidate
+    pairs only.  The hyperplanes are the deterministic hash-mix family from
+    operators/similarity.py, so the WHOLE pipeline (buckets, caps, join,
+    verify) replays in any SQL engine — DuckDB is the correctness oracle.
+    """
+    from tsfresh_spark.operators.similarity import _cosine, _lsh_keys
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    keyed = base.withColumn(
+        "key", F.explode(_lsh_keys("emb", dim, num_planes, num_tables))
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("key").orderBy("id")
+        keyed = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket_size)
+            .drop("rn")
+        )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "key"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "key"
+    )
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _cosine(F.col("emb_a"), F.col("emb_b"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(threshold)
+    )
