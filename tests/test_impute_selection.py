@@ -148,3 +148,71 @@ def test_multiclass_selection(spark):
     )
     kept = set(selected.columns) - {"id"}
     assert kept == {"one_class"}
+
+
+def test_kendall_merge_count_equals_sign_matrix():
+    """A/B proof that the O(n log² n) Knight merge count is EXACTLY the
+    O(n²) sign-matrix P-Q on random data with heavy ties — the equivalence
+    the scale path rests on."""
+    from tsfresh_spark.operators.selection import _kendall_con_minus_dis
+
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        n = int(rng.randint(2, 200))
+        # heavy ties: small integer supports on both sides
+        x = rng.randint(0, max(2, n // 8), size=n).astype(float)
+        y = rng.randint(0, max(2, n // 5), size=n).astype(float)
+        if trial % 3 == 0:
+            x = rng.randn(n)  # continuous x, tied y
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(n, k=1)
+        prod = dx[iu] * dy[iu]
+        want = int((prod > 0).sum()) - int((prod < 0).sum())
+        assert _kendall_con_minus_dis(x, y) == want, (trial, n)
+
+
+def test_kendall_pvalue_identical_across_paths():
+    """The p-value through the merge path equals the brute-force path
+    bit-for-bit (same P-Q, same variance, same tail)."""
+    from tsfresh_spark.operators.selection import (
+        _pvalue_kendall,
+        normal_sf_portable,
+    )
+    import math
+
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        n = int(rng.randint(3, 400))
+        x = rng.randint(0, 30, size=n).astype(float)
+        y = x * 0.5 + rng.randn(n)
+        p_fast = _pvalue_kendall(x, y)
+        # force the O(n²) fallback by injecting one NaN into copies and
+        # comparing on the clean data instead: recompute brute force here
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(n, k=1)
+        prod = dx[iu] * dy[iu]
+        P = int((prod > 0).sum())
+        Q = int((prod < 0).sum())
+
+        def tie_stats(v):
+            _, counts = np.unique(v, return_counts=True)
+            t = counts[counts > 1].astype(float)
+            return (
+                (t * (t - 1) / 2).sum(),
+                (t * (t - 1) * (2 * t + 5)).sum(),
+                (t * (t - 1) * (t - 2)).sum(),
+                (t * (t - 1)).sum(),
+            )
+
+        xt_pairs, vt, vt2, xt11 = tie_stats(x)
+        yt_pairs, vu, vu2, yt11 = tie_stats(y)
+        n0 = n * (n - 1) / 2.0
+        v0 = n * (n - 1) * (2 * n + 5)
+        v1 = xt11 * yt11 / (2.0 * n * (n - 1))
+        v2 = vt2 * vu2 / (9.0 * n * (n - 1) * (n - 2)) if n > 2 else 0.0
+        var = (v0 - vt - vu) / 18.0 + v1 + v2
+        z = (P - Q) / math.sqrt(var)
+        want = min(1.0, 2.0 * normal_sf_portable(abs(z)))
+        assert p_fast == want

@@ -744,3 +744,82 @@ def test_reoccurring_sums_nan_poisons_like_reference():
     # published finite cases unchanged
     assert k("sum_of_reoccurring_values")(np.array([2, 2, 2, 2, 1])) == 2
     assert k("sum_of_reoccurring_data_points")(np.array([2, 2, 2, 2, 1])) == 8
+
+
+def _ridge_lines_reference(mat, max_distances, gap_thresh):
+    """The pre-optimization ridge-line identifier (argsort finalization) —
+    kept verbatim as the A/B reference for the incremental min-row form."""
+    from tsfresh_spark.kernels.spectral import _relative_maxima
+
+    all_max = _relative_maxima(mat)
+    rows_with_max = np.nonzero(all_max.any(axis=1))[0]
+    if len(rows_with_max) == 0:
+        return []
+    start_row = rows_with_max[-1]
+    lines = [[[start_row], [col], 0] for col in np.nonzero(all_max[start_row])[0]]
+    final = []
+    for row in range(start_row - 1, -1, -1):
+        this_cols = np.nonzero(all_max[row])[0]
+        for line in lines:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in lines])
+        if len(prev_cols) and len(this_cols):
+            diffs = np.abs(this_cols[:, None] - prev_cols[None, :])
+            closest = np.argmin(diffs, axis=1)
+            best = diffs[np.arange(len(this_cols)), closest]
+            within = best <= max_distances[row]
+        else:
+            closest = np.zeros(len(this_cols), dtype=int)
+            within = np.zeros(len(this_cols), dtype=bool)
+        for i, col in enumerate(this_cols):
+            if within[i]:
+                attached = lines[closest[i]]
+                attached[0].append(row)
+                attached[1].append(int(col))
+                attached[2] = 0
+            else:
+                lines.append([[row], [int(col)], 0])
+        for i in range(len(lines) - 1, -1, -1):
+            if lines[i][2] > gap_thresh:
+                final.append(lines[i])
+                del lines[i]
+    out = []
+    for rows, cols, _gap in final + lines:
+        order = np.argsort(rows)
+        out.append(([rows[i] for i in order], [cols[i] for i in order]))
+    return out
+
+
+def test_ridge_lines_incremental_equals_argsort_reference():
+    """A/B: the incremental (first_row, first_col, length) tracker must
+    reproduce np.argsort-based line heads EXACTLY — including duplicate-row
+    tie order — across random series, scales, and lengths."""
+    from tsfresh_spark.kernels.spectral import (
+        _identify_ridge_lines,
+        cwt_ricker,
+    )
+
+    rng = np.random.RandomState(99)
+    checked = 0
+    for trial in range(40):
+        n = int(rng.randint(8, 600))
+        kind = trial % 3
+        if kind == 0:
+            x = rng.randn(n) * 10
+        elif kind == 1:
+            x = rng.randint(-4, 5, size=n).astype(float)  # heavy ties
+        else:
+            x = np.sin(np.linspace(0, rng.randint(1, 9) * np.pi, n)) * 5
+        scales = int(rng.randint(1, 11))
+        widths = np.arange(1, scales + 1, dtype=float)
+        mat = cwt_ricker(x, widths)
+        got = _identify_ridge_lines(mat, widths / 4.0, np.ceil(widths[0]))
+        want = [
+            (rows[0], cols[0], len(rows))
+            for rows, cols in _ridge_lines_reference(
+                mat, widths / 4.0, np.ceil(widths[0])
+            )
+        ]
+        assert got == want, (trial, n, scales)
+        checked += len(got)
+    assert checked > 500

@@ -152,19 +152,75 @@ def _pvalue_fisher(feature: np.ndarray, target: np.ndarray) -> float:
     return min(1.0, total)
 
 
+def _count_inversions(a: np.ndarray) -> tuple[np.ndarray, int]:
+    """(sorted copy, #pairs i<j with a[i] > a[j]) — vectorized merge
+    counting, O(n log² n), no python-level per-element loop."""
+    if len(a) <= 1:
+        return a, 0
+    mid = len(a) // 2
+    left, cl = _count_inversions(a[:mid])
+    right, cr = _count_inversions(a[mid:])
+    # cross inversions: per right element, how many left elements exceed it
+    cross = int((len(left) - np.searchsorted(left, right, side="right")).sum())
+    merged = np.concatenate([left, right])
+    merged.sort()
+    return merged, cl + cr + cross
+
+
+def _run_pair_count(sorted_keys) -> int:
+    """Σ c(c-1)/2 over runs of equal consecutive keys (keys pre-sorted)."""
+    if len(sorted_keys) == 0:
+        return 0
+    if isinstance(sorted_keys, tuple):
+        same = np.ones(len(sorted_keys[0]) - 1, dtype=bool)
+        for k in sorted_keys:
+            same &= k[1:] == k[:-1]
+    else:
+        same = sorted_keys[1:] == sorted_keys[:-1]
+    boundaries = np.flatnonzero(~same)
+    starts = np.concatenate([[0], boundaries + 1])
+    ends = np.concatenate([boundaries + 1, [len(same) + 1]])
+    c = (ends - starts).astype(np.int64)
+    return int((c * (c - 1) // 2).sum())
+
+
+def _kendall_con_minus_dis(x: np.ndarray, y: np.ndarray) -> int:
+    """P - Q (concordant minus discordant pairs) in O(n log² n) via the
+    Knight (1966) merge-counting identity — EXACT integer counts, so it is
+    interchangeable with the O(n²) sign-matrix form (asserted in
+    tests/test_impute_selection.py) while surviving selection over millions
+    of training series.  con+dis = tot - xtie - ytie + ntie; dis = strict
+    inversions of y in (x, y)-sorted order."""
+    n = len(x)
+    perm = np.lexsort((y, x))
+    xs, ys = x[perm], y[perm]
+    tot = n * (n - 1) // 2
+    xtie = _run_pair_count(xs)
+    ytie = _run_pair_count(np.sort(y))
+    ntie = _run_pair_count((xs, ys))
+    _, dis = _count_inversions(ys)
+    return (tot - xtie - ytie + ntie) - 2 * dis
+
+
 def _pvalue_kendall(x: np.ndarray, y: np.ndarray) -> float:
     """Kendall τ-b two-sided asymptotic p (normal approximation with the full
     tie-adjusted variance) — the method="asymptotic" path the reference pins
-    at significance_tests.py:170-188."""
+    at significance_tests.py:170-188.  P-Q comes from the O(n log² n) merge
+    count; NaN-bearing inputs fall back to the sign-matrix form (which
+    silently skips NaN pairs, the long-standing behavior)."""
     n = len(x)
     if n < 2:
         return np.nan
-    dx = np.sign(x[:, None] - x[None, :])
-    dy = np.sign(y[:, None] - y[None, :])
-    iu = np.triu_indices(n, k=1)
-    prod = dx[iu] * dy[iu]
-    P = int((prod > 0).sum())
-    Q = int((prod < 0).sum())
+    if np.isnan(x).any() or np.isnan(y).any():
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(n, k=1)
+        prod = dx[iu] * dy[iu]
+        P = int((prod > 0).sum())
+        Q = int((prod < 0).sum())
+    else:
+        d = _kendall_con_minus_dis(x, y)
+        P, Q = d, 0  # only P - Q enters the statistic below
 
     def tie_stats(v):
         _, counts = np.unique(v, return_counts=True)
