@@ -823,3 +823,23 @@ def test_ridge_lines_incremental_equals_argsort_reference():
         assert got == want, (trial, n, scales)
         checked += len(got)
     assert checked > 500
+
+
+def test_sliding_percentile_partition_equals_np_percentile():
+    """A/B: the partition-based interior must be bit-equal to the full
+    np.percentile over sliding windows, across widths/percentiles/dtypes."""
+    from tsfresh_spark.kernels.spectral import _sliding_percentile
+
+    rng = np.random.RandomState(17)
+    for trial in range(25):
+        n = int(rng.randint(10, 800))
+        row = rng.randn(n) * 100 if trial % 2 else rng.randint(0, 9, n).astype(float)
+        width = int(rng.randint(1, min(n, 80)))
+        half, odd = width // 2, width % 2
+        perc = float(rng.choice([10, 25, 50, 75, 90, 33.3]))
+        got = _sliding_percentile(np.abs(row), half, odd, perc)
+        full = np.lib.stride_tricks.sliding_window_view(np.abs(row), width)
+        want_interior = np.percentile(full, perc, axis=1)
+        assert np.array_equal(
+            got[half : half + len(want_interior)], want_interior
+        ), (trial, n, width, perc)

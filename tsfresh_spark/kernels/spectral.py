@@ -208,9 +208,23 @@ def _sliding_percentile(row: np.ndarray, half: int, odd: int, perc: float) -> np
     if width >= n or width == 0:
         return np.full(n, np.percentile(row, perc))
     out = np.empty(n)
-    # interior: every window is full-width → one vectorized percentile call
+    # interior: every window is full-width; the percentile needs only the
+    # two order statistics around pos = (width-1)·perc/100, so partition at
+    # those ranks instead of fully sorting every window (O(w) vs O(w log w),
+    # ~3x) and apply numpy's own symmetric-lerp formula — values bit-equal
+    # to np.percentile(full, perc, axis=1) (asserted in test_kernels.py)
     full = np.lib.stride_tricks.sliding_window_view(row, width)
-    interior = np.percentile(full, perc, axis=1)
+    pos = (width - 1) * (perc / 100.0)
+    lo = int(pos)
+    t = pos - lo
+    if t == 0:
+        interior = np.partition(full, lo, axis=1)[:, lo]
+    else:
+        part = np.partition(full, (lo, lo + 1), axis=1)
+        a_, b_ = part[:, lo], part[:, lo + 1]
+        interior = (
+            b_ - (b_ - a_) * (1 - t) if t >= 0.5 else a_ + (b_ - a_) * t
+        )
     out[half : half + len(interior)] = interior
 
     def pct(a):
