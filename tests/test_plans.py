@@ -161,3 +161,23 @@ def test_grouped_extraction_pins_partition_count(spark):
         spark.createDataFrame(pdf), {"mean": None}, num_partitions=0
     )
     assert "REPARTITION_BY_NUM" not in out2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_embedding_neardup_plan_is_bucket_join(spark):
+    """The semantic-dedup candidate join must be a hash/broadcast join on
+    the (table, bucket) key — never a cartesian product — so candidate
+    fan-out stays bounded at any corpus size."""
+    from tsfresh_spark.operators.dedup import embedding_near_duplicates
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(i) for i in range(8)]).alias("embedding"),
+    )
+    out = embedding_near_duplicates(
+        df, dim=8, threshold=0.5, num_planes=2, num_tables=4,
+        max_bucket_size=32,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # an equi-join on the exploded key
