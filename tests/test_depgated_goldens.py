@@ -307,11 +307,100 @@ def test_agg_linear_trend_nan_chunk_reference_cases():
 # ------------------------------------------------------------ matrix profile
 
 
-def test_matrix_profile_gated_like_reference():
-    """The optional matrixprofile dependency is absent → the calculator is
-    registered but unavailable and raises ImportError, mirroring the
-    reference's dependency gate (settings.py:282-293)."""
+def test_matrix_profile_stomp_equals_bruteforce():
+    """A/B: the STOMP diagonal recurrence must equal the brute-force
+    z-normalized nearest-neighbor distance (full windows matrix) on random
+    data, including constant windows."""
+    from tsfresh_spark.kernels.model import matrix_profile_stomp
+
+    rng = np.random.RandomState(23)
+    for trial in range(8):
+        n = int(rng.randint(40, 220))
+        x = rng.randn(n) * 5
+        if trial % 3 == 0:
+            x[5:15] = 3.25  # a constant stretch → zero-variance windows
+        m = int(rng.choice([4, 8, 13, 16]))
+        k = n - m + 1
+        excl = int(np.ceil(m / 4.0))
+        W = np.lib.stride_tricks.sliding_window_view(x, m).astype(float)
+        mu = W.mean(axis=1, keepdims=True)
+        sd = W.std(axis=1, keepdims=True)
+        flat = (sd[:, 0] == 0)
+        Z = (W - mu) / np.where(sd == 0, 1.0, sd)
+        D = np.sqrt(
+            np.maximum(
+                (Z[:, None, :] - Z[None, :, :]) ** 2, 0
+            ).sum(-1)
+        )
+        both = flat[:, None] & flat[None, :]
+        one = flat[:, None] ^ flat[None, :]
+        D[both] = 0.0
+        D[one] = np.sqrt(m)
+        ii, jj = np.indices(D.shape)
+        D[np.abs(ii - jj) <= excl] = np.inf
+        want = D.min(axis=1)
+        got = matrix_profile_stomp(x, m)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8), (trial, n, m)
+
+
+def test_matrix_profile_planted_motif():
+    """Two planted copies of the same subsequence → their profile entries
+    are ~0 and the kernel's 'min' feature sees them."""
+    from tsfresh_spark.kernels.model import matrix_profile_stomp
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(300) * 10
+    motif = rng.randn(24) * 10
+    x[40:64] = motif
+    x[200:224] = motif
+    prof = matrix_profile_stomp(x, 24)
+    assert prof[40] < 1e-5 and prof[200] < 1e-5
+    res = dict(
+        KERNELS["matrix_profile"].func(
+            x, [{"windows": 24, "feature": f} for f in ["min", "max", "median"]]
+        )
+    )
+    assert res['feature_"min"__windows_24'] < 1e-5
+    assert res['feature_"max"__windows_24'] > 1.0
+
+
+def test_matrix_profile_kernel_grid_and_degenerates():
+    from tsfresh_spark.kernels.model import matrix_profile_stomp
+
     info = KERNELS["matrix_profile"]
-    assert info.available is False
-    with pytest.raises(ImportError):
-        info.func(np.arange(10.0), [{"threshold": 0.98, "feature": "min"}])
+    assert info.available is True  # native STOMP — no optional package
+    rng = np.random.RandomState(3)
+    x = rng.randn(200)
+    param = [
+        {"threshold": 0.98, "feature": f}
+        for f in ["min", "max", "mean", "median", "25", "75"]
+    ]
+    res = dict(info.func(x, param))
+    assert len(res) == 6
+    vals = np.array(list(res.values()), dtype=float)
+    assert np.isfinite(vals).all()
+    assert res['feature_"min"__threshold_0.98'] <= res['feature_"25"__threshold_0.98']
+    assert res['feature_"25"__threshold_0.98'] <= res['feature_"median"__threshold_0.98']
+    assert res['feature_"median"__threshold_0.98'] <= res['feature_"75"__threshold_0.98']
+    # degenerate inputs → NaN, mirroring the reference's NoSolutionPossible
+    for bad in (np.arange(6.0), np.full(50, np.nan)):
+        out = dict(info.func(bad, [{"threshold": 0.98, "feature": "min"}]))
+        assert all(np.isnan(v) for v in out.values())
+    assert len(matrix_profile_stomp(np.arange(10.0), 8)) == 1
+
+
+def test_matrix_profile_settings_opt_in():
+    """Default comprehensive grid stays 788-per-kind (baseline parity);
+    opting in yields the reference-with-extra 794 surface."""
+    from tsfresh_spark.settings import comprehensive_settings
+
+    base = comprehensive_settings()
+    assert "matrix_profile" not in base
+    full = comprehensive_settings(include_matrix_profile=True)
+    assert len(full["matrix_profile"]) == 6
+    n_base = sum(
+        1 if v is None else len(v) for v in base.values() if v is None or v
+    )
+    # 6 matrix-profile features on top of the default grid
+    assert set(full) - set(base) == {"matrix_profile"}

@@ -394,13 +394,140 @@ def query_similarity_count(x, param):
     return list(res.items())
 
 
-@kernel("matrix_profile", "combiner", available=False)
+def _window_stats(x: np.ndarray, m: int):
+    """Per-window mean / population std via cumulative sums (O(n)), plus an
+    EXACT constant-window mask: the cumsum variance E[x²]-E[x]² suffers
+    cancellation and does not reliably hit 0.0 on constant windows, so
+    flatness is decided by the window's max-min instead (vectorized view;
+    O(n·m) is negligible next to the O(n²) diagonal sweep)."""
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    csum2 = np.concatenate([[0.0], np.cumsum(x * x)])
+    mu = (csum[m:] - csum[:-m]) / m
+    var = (csum2[m:] - csum2[:-m]) / m - mu * mu
+    var[var < 0] = 0.0
+    sig = np.sqrt(var)
+    w = np.lib.stride_tricks.sliding_window_view(x, m)
+    flat = w.max(axis=1) == w.min(axis=1)
+    sig[flat] = 0.0
+    return mu, sig, flat
+
+
+def matrix_profile_stomp(x: np.ndarray, m: int) -> np.ndarray:
+    """Exact 1-D self-join matrix profile under z-normalized Euclidean
+    distance — the STOMP diagonal recurrence (Yeh et al. 2016, Zhu et al.
+    2016; the published algorithm behind ``matrixprofile.compute``).
+
+    Per-diagonal vectorization: the sliding dot products along diagonal
+    ``d`` are width-``m`` moving sums of ``x[:-d] * x[d:]`` (one cumsum),
+    so the whole profile is O(n²) work in O(n) numpy passes with no
+    python-level inner loop.  Exclusion zone ``ceil(m/4)`` (trivial-match
+    guard, the package default); constant-window convention: distance 0 if
+    both windows are constant, sqrt(m) if exactly one is.
+    """
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    k = n - m + 1
+    excl = int(np.ceil(m / 4.0))
+    if m < 4 or k < excl + 2:
+        return np.array([np.nan])
+    mu, sig, flat = _window_stats(x, m)
+    prof = np.full(k, np.inf)
+    for d in range(excl + 1, k):
+        p = x[: n - d] * x[d:]
+        cp = np.concatenate([[0.0], np.cumsum(p)])
+        qt = cp[m:] - cp[:-m]  # QT(i, i+d) for i in 0..k-d-1
+        i = np.arange(k - d)
+        j = i + d
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (qt - m * mu[i] * mu[j]) / (m * sig[i] * sig[j])
+            dist = np.sqrt(np.maximum(2.0 * m * (1.0 - corr), 0.0))
+        both_flat = flat[i] & flat[j]
+        one_flat = flat[i] ^ flat[j]
+        dist[both_flat] = 0.0
+        dist[one_flat] = np.sqrt(m)
+        np.minimum.at(prof, i, dist)
+        np.minimum.at(prof, j, dist)
+    prof[np.isinf(prof)] = np.nan
+    return prof
+
+
+def _maximum_subsequence_profile(x: np.ndarray, threshold: float) -> np.ndarray:
+    """Re-derivation of ``matrixprofile.algorithms.maximum_subsequence``
+    (the reference's no-``windows`` path, feature_calculators.py:2422-2428):
+    compute the profile at doubling window sizes 8, 16, 32, … (capped at
+    ⌊n/2⌋) and stop after the first window whose best match correlation
+    ``1 - mp²/(2m)`` falls below ``threshold``; the returned profile is the
+    last one computed — ``pmp[-1]`` in the package's terms.  The true
+    package cannot run in this sandbox (for the reference either), so this
+    follows the published algorithm description; semantics are pinned by
+    the property tests, not by a side-by-side run."""
+    n = len(x)
+    if n < 16:
+        return np.array([np.nan])
+    profile = np.array([np.nan])
+    m = 8
+    while m <= n // 2:
+        profile = matrix_profile_stomp(x, m)
+        if len(profile) == 1 and np.isnan(profile[0]):
+            return profile
+        finite = profile[np.isfinite(profile)]
+        if len(finite) == 0:
+            return np.array([np.nan])
+        best_corr = 1.0 - (finite.min() ** 2) / (2.0 * m)
+        if best_corr < threshold:
+            break
+        m *= 2
+    return profile
+
+
+@kernel("matrix_profile", "combiner")
 def matrix_profile(x, param):
     """Tukey five-number summary + mean of the 1-D matrix profile
-    (feature_calculators.py:2383-2471).  The optional ``matrixprofile``
-    dependency is unavailable, so — exactly like the reference — the
-    calculator is registered but excluded from the default settings."""
-    raise ImportError(
-        "matrix_profile requires the optional 'matrixprofile' package, which "
-        "is not installed; the calculator is disabled in default settings"
-    )
+    (feature_calculators.py:2383-2471).
+
+    NATIVE here: the reference delegates to the optional ``matrixprofile``
+    package (and is therefore unavailable in this sandbox); this engine
+    computes the profile itself with :func:`matrix_profile_stomp`, so the
+    calculator needs no extra dependency.  ``{"windows": w}`` selects the
+    fixed-window profile (``mp.compute(x, windows=w)["mp"]``); otherwise
+    the ``threshold`` drives the maximum-subsequence search exactly as the
+    reference's default grid uses it.  Kept OUT of the default
+    comprehensive settings (``include_matrix_profile=False``) to preserve
+    the 788-feature grid the measured baselines use; opt in for the full
+    794-feature surface."""
+    x = np.asarray(x, dtype=float)
+    profiles: dict = {}
+    res = {}
+    for cfg in param:
+        from tsfresh_spark.naming import encode_parameters
+
+        cfg = dict(cfg)
+        key = encode_parameters(cfg)
+        feature = cfg.pop("feature")
+        pkey = encode_parameters(cfg)
+        if pkey not in profiles:
+            if np.isnan(x).any():
+                profiles[pkey] = np.array([np.nan])
+            elif "windows" in cfg:
+                profiles[pkey] = matrix_profile_stomp(x, int(cfg["windows"]))
+            else:
+                profiles[pkey] = _maximum_subsequence_profile(
+                    x, float(cfg.get("threshold", 0.98))
+                )
+        m_p = profiles[pkey]
+        if len(m_p) == 1:
+            res[key] = np.nan
+            continue
+        finite = m_p[np.isfinite(m_p)]
+        feature_map = {
+            "min": np.min,
+            "max": np.max,
+            "mean": np.mean,
+            "median": np.median,
+            "25": lambda data: np.percentile(data, 25),
+            "75": lambda data: np.percentile(data, 75),
+        }
+        if feature not in feature_map:
+            raise ValueError(f"Unknown feature {feature} for the matrix profile")
+        res[key] = feature_map[feature](finite)
+    return list(res.items())

@@ -132,8 +132,15 @@ def _parameter_grids() -> dict:
     }
 
 
-def comprehensive_settings() -> dict:
-    """All available calculators with their default grids."""
+def comprehensive_settings(include_matrix_profile: bool = False) -> dict:
+    """All available calculators with their default grids.
+
+    ``matrix_profile`` is computed natively (kernels/model.py — no optional
+    package needed, unlike the reference) but stays opt-in: the default
+    788-feature grid matches the reference as deployable in this sandbox
+    and every measured baseline; ``include_matrix_profile=True`` yields the
+    full 794-feature surface of a reference install with the
+    ``matrixprofile`` extra."""
     settings: dict = {
         name: None
         for name, info in KERNELS.items()
@@ -144,6 +151,8 @@ def comprehensive_settings() -> dict:
     for name, info in KERNELS.items():
         if not info.available and name in settings:
             del settings[name]
+    if not include_matrix_profile:
+        settings.pop("matrix_profile", None)
     return settings
 
 
