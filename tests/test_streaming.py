@@ -157,3 +157,49 @@ def test_windowed_stream_equals_rollup_tier_bitexact(spark, tmp_path_factory):
         bf = dict(tkey.loc[idx, "features"])
         assert sf == bf, (idx, sf, bf)  # exact float equality, no tolerance
         assert gkey.loc[idx, "n_points"] == tkey.loc[idx, "n_points"] == 12
+
+
+def test_sliding_windowed_stream(spark, event_files):
+    """slide < window → overlapping windows: every closed 30-min window at
+    a 15-min slide carries the points of its full span, and each feature
+    map equals the batch computation over the same span."""
+    schema = "doc_id string, source string, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(event_files)
+    out = windowed_feature_stream(
+        stream,
+        minimal_settings(),
+        id_cols=["doc_id", "source"],
+        window="30 minutes",
+        slide="15 minutes",
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("feat_stream_sliding")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from feat_stream_sliding").toPandas()
+    batch = spark.read.parquet(event_files).toPandas()
+    # ~2x as many closed windows as the tumbling test (15-min slide)
+    assert got.window_start.nunique() >= 6
+    checked = 0
+    for _, row in got.iterrows():
+        span = batch[
+            (batch.doc_id == row.doc_id)
+            & (batch.source == row.source)
+            & (batch.ts >= row.window_start)
+            & (batch.ts < row.window_start + pd.Timedelta("30min"))
+        ].sort_values("ts")
+        if len(span) != row.n_points:
+            continue  # window not fully closed relative to max event time
+        want = dict(
+            compute_series_features(
+                span.value.values, row.source, minimal_settings()
+            )
+        )
+        assert dict(row.features) == want
+        checked += 1
+    assert checked >= 8

@@ -52,17 +52,26 @@ def windowed_feature_stream(
     ts_col: str = "ts",
     value_col: str = "value",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
 ) -> DataFrame:
     """event stream → (id..., window_start, n_points, features) stream.
 
-    Use ``.writeStream.outputMode("append")`` — windows finalize when the
-    watermark passes their end.
+    ``slide`` (e.g. ``"15 minutes"`` under a 1-hour ``window``) switches to
+    overlapping sliding windows — each event then contributes to
+    window/slide feature vectors, the streaming analog of
+    ``roll_time_series``.  Use ``.writeStream.outputMode("append")`` —
+    windows finalize when the watermark passes their end.
     """
     kind_col = id_cols[-1]
+    win = (
+        F.window(ts_col, window)
+        if slide is None
+        else F.window(ts_col, window, slide)
+    )
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(*id_cols, F.window(ts_col, window).alias("w"))
+        .groupBy(*id_cols, win.alias("w"))
         .agg(
             F.collect_list(
                 F.struct(
