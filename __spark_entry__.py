@@ -98,6 +98,36 @@ def q_extract_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_long_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own Spark-binding shape (bindings.py:164-265):
+    long frame → groupBy(id, kind).applyInPandas with in-UDF sort — the
+    grouped/shuffled sibling of the shuffle-free tokens path.  Shares the
+    tokens-path oracle because the two physical plans must produce
+    IDENTICAL values (same kernels, same per-series order)."""
+    _prep(spark)
+    from tsfresh_spark.extract import extract_features_long
+
+    ev = _events_long(spark, sf_dir)
+    long_df = ev.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        "ts",
+        "event_id",
+        F.col("v").cast("double").alias("value"),
+    )
+    settings = {name: None for name in _EXACT_KERNELS}
+    # composite sort key (ts, event_id) — the same deterministic in-series
+    # order the tokens path bakes into array_sort
+    return extract_features_long(
+        long_df,
+        settings,
+        column_id="user_id",
+        column_kind="event_type",
+        column_sort=["ts", "event_id"],
+        column_value="value",
+    )
+
+
 _ORACLE_EXTRACT_KERNELS = f"""
 WITH base AS ({_BASE_SQL}),
 g AS (
@@ -1809,6 +1839,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_kernels_exact": q_extract_kernels,
+        "extract_long_grouped": q_extract_long_grouped,
         "stats_sql_fastpath": q_stats_sql,
         "array_features_ordered": q_array_features,
         "longest_strike": q_longest_strike,
@@ -1841,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_kernels_exact": _ORACLE_EXTRACT_KERNELS,
+        "extract_long_grouped": _ORACLE_EXTRACT_KERNELS,
         "stats_sql_fastpath": _ORACLE_STATS_SQL,
         "array_features_ordered": _ORACLE_ARRAY_FEATURES,
         "longest_strike": _ORACLE_LONGEST_STRIKE,

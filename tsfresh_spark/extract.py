@@ -441,7 +441,7 @@ def extract_features_long(
     *,
     column_id: str = "id",
     column_kind: str = "kind",
-    column_sort: str | None = "time",
+    column_sort: str | list[str] | None = "time",
     column_value: str = "value",
     kind_to_settings: dict | None = None,
     num_partitions: int | None = None,
@@ -470,8 +470,13 @@ def extract_features_long(
             df, column_id, column_kind, num_partitions=num_partitions
         )
     id_type = df.schema[column_id].dataType.simpleString()
+    # column_sort may be a list of columns (composite order key, e.g.
+    # (ts, event_id) to break timestamp ties deterministically) — pandas
+    # sort_values takes either form; timestamp-index kernels only engage
+    # for a single timestamp-typed sort column
     sort_is_timestamp = (
         column_sort is not None
+        and isinstance(column_sort, str)
         and df.schema[column_sort].dataType.simpleString().startswith("timestamp")
     )
 
