@@ -1479,10 +1479,14 @@ normals AS (
   UNION ALL SELECT 'regression', feature, p_fixed, z FROM kd_res
 ),
 norm_p AS (
+  -- branch on z, not on COALESCE over the erfc: DuckDB's LEAST ignores
+  -- NULLs, so LEAST(1.0, NULL) would turn a denom=0 Kendall (engine NaN →
+  -- NULL) into 1.0 instead of propagating the NULL
   SELECT task, feature,
-         COALESCE(p_fixed,
+         CASE WHEN x IS NOT NULL THEN
            LEAST(1.0, CASE WHEN x >= 0 THEN {_ERFC_POLY}
-                           ELSE 2.0 - {_ERFC_POLY} END)) AS p_raw
+                           ELSE 2.0 - {_ERFC_POLY} END)
+         ELSE p_fixed END AS p_raw
   FROM (
     SELECT task, feature, p_fixed, x, ABS(x) AS ax, 1.0/(1.0 + 0.5*ABS(x)) AS tt
     FROM (SELECT task, feature, p_fixed, z / SQRT(2.0) AS x FROM normals)

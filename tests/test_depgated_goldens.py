@@ -404,3 +404,29 @@ def test_matrix_profile_settings_opt_in():
     )
     # 6 matrix-profile features on top of the default grid
     assert set(full) - set(base) == {"matrix_profile"}
+
+
+def test_matrix_profile_large_offset_robust():
+    """The code-review repro: x ~ 1e9 ± 1e-3.  The cumsum variance/QT
+    cancellation used to zero 38% of the sigmas and poison the profile
+    with NaN/fake-zero matches; z-norm distances are affine-invariant, so
+    the profile must equal the one of the centered series."""
+    from tsfresh_spark.kernels.model import matrix_profile_stomp
+
+    rng = np.random.RandomState(5)
+    noise = rng.rand(200) * 1e-3
+    shifted = 1e9 + noise
+    prof_shift = matrix_profile_stomp(shifted, 16)
+    prof_base = matrix_profile_stomp(noise, 16)
+    assert np.isfinite(prof_shift).all()
+    assert (prof_shift > 0).all()  # noise has no exact motifs
+    # rtol bounded by the DATA, not the algorithm: float64 1e9+1e-3 only
+    # retains ~4 significant digits of the noise itself (ulp(1e9) ≈ 1e-7)
+    assert np.allclose(prof_shift, prof_base, rtol=2e-3)
+    # and the kernel returns a real value, not a fake perfect match
+    res = dict(
+        KERNELS["matrix_profile"].func(
+            shifted, [{"windows": 16, "feature": "min"}]
+        )
+    )
+    assert res['feature_"min"__windows_16'] > 0.1

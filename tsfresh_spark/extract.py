@@ -356,7 +356,14 @@ def _extract_tokens_hybrid(
         ]
         branches.append(
             _extract_tokens_hybrid(
-                df.filter(~F.col(kind_col).isin(kinds)),
+                # NULL kinds must land in the default branch too: ~isin()
+                # evaluates to NULL (not true) for NULL, which would
+                # silently drop those rows — the kernels engine routes them
+                # through the default settings, and the engines are
+                # documented bit-identical
+                df.filter(
+                    (~F.col(kind_col).isin(kinds)) | F.col(kind_col).isNull()
+                ),
                 settings,
                 id_col=id_col,
                 tokens_col=tokens_col,
@@ -389,6 +396,9 @@ def _extract_tokens_hybrid(
         if rest:
             rest_map = _rest_map_udf(rest)(F.col(tokens_col), F.col(kind_col))
             feat = rest_map if feat is None else F.map_concat(feat, rest_map)
+        if feat is None:
+            # empty settings: mirror the kernels engine's empty feature map
+            feat = F.create_map().cast("map<string,double>")
         return df.select(
             F.col(id_col), F.col(kind_col), feat.alias("features")
         )

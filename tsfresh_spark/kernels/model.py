@@ -395,18 +395,17 @@ def query_similarity_count(x, param):
 
 
 def _window_stats(x: np.ndarray, m: int):
-    """Per-window mean / population std via cumulative sums (O(n)), plus an
-    EXACT constant-window mask: the cumsum variance E[x²]-E[x]² suffers
-    cancellation and does not reliably hit 0.0 on constant windows, so
-    flatness is decided by the window's max-min instead (vectorized view;
-    O(n·m) is negligible next to the O(n²) diagonal sweep)."""
-    csum = np.concatenate([[0.0], np.cumsum(x)])
-    csum2 = np.concatenate([[0.0], np.cumsum(x * x)])
-    mu = (csum[m:] - csum[:-m]) / m
-    var = (csum2[m:] - csum2[:-m]) / m - mu * mu
-    var[var < 0] = 0.0
-    sig = np.sqrt(var)
+    """Per-window mean / population std via the two-pass sliding view —
+    NOT the cumsum identity E[x²]-E[x]², whose cancellation both misses
+    exactly-constant windows AND zeroes the sigma of non-constant windows
+    on large-offset data (x ~ 1e9 ± 1e-3 gave sig==0 on 38% of windows,
+    silently turning the profile into fake perfect matches).  O(n·m)
+    vectorized work is negligible next to the O(n²) diagonal sweep; the
+    ptp mask gives the exact constant-window set for the distance
+    conventions."""
     w = np.lib.stride_tricks.sliding_window_view(x, m)
+    mu = w.mean(axis=1)
+    sig = w.std(axis=1)
     flat = w.max(axis=1) == w.min(axis=1)
     sig[flat] = 0.0
     return mu, sig, flat
@@ -430,6 +429,12 @@ def matrix_profile_stomp(x: np.ndarray, m: int) -> np.ndarray:
     excl = int(np.ceil(m / 4.0))
     if m < 4 or k < excl + 2:
         return np.array([np.nan])
+    # z-normalized distances are invariant under any global affine
+    # transform of x, so standardize first: without this, the
+    # qt − m·μi·μj subtraction cancels catastrophically on large-offset
+    # series (x ~ 1e9 ± 1e-3) and the profile silently degenerates
+    mu0, sd0 = x.mean(), x.std()
+    x = (x - mu0) / sd0 if sd0 > 0 else x - mu0
     mu, sig, flat = _window_stats(x, m)
     prof = np.full(k, np.inf)
     for d in range(excl + 1, k):
@@ -519,6 +524,12 @@ def matrix_profile(x, param):
             res[key] = np.nan
             continue
         finite = m_p[np.isfinite(m_p)]
+        if len(finite) == 0:
+            # nothing comparable anywhere in the profile — mirror the
+            # reference's NoSolutionPossible → NaN path instead of letting
+            # np.min raise on an empty reduction
+            res[key] = np.nan
+            continue
         feature_map = {
             "min": np.min,
             "max": np.max,

@@ -41,7 +41,7 @@ def asof_join(
         # name; a value column with the same name would make field
         # extraction ambiguous
         raise ValueError("value column name '_rt' is reserved by asof_join")
-    reserved = {"_t", "_side", "_r"}
+    reserved = {"_t", "_side", "_r", "_m"}
     clashes = (set(left.columns) | set(value_cols)) & reserved
     if clashes:
         # these are the internal working columns of the union+window plan;

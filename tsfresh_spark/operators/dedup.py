@@ -97,11 +97,10 @@ def exact_duplicates(
     )
 
 
-def _words(text_col: str):
-    """Whitespace tokens with empties dropped (leading/trailing whitespace
-    would otherwise yield '' — engines disagree on that, the filter makes
-    the token list portable)."""
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+# the ONE tokenization rule of the whole text plane lives in operators/
+# text.py; importing it here keeps the shinglers and the text statistics
+# incapable of drifting apart
+from tsfresh_spark.operators.text import _words  # noqa: E402
 
 
 def _shingles(text_col: str, n: int):

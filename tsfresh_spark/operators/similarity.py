@@ -250,12 +250,9 @@ def cosine_topk_lsh(
     )
     if num_tables > 1:
         # a pair can collide in several tables — score each candidate once
-        w_first = Window.partitionBy("qid", "nid").orderBy(F.lit(1))
-        candidates = (
-            candidates.withColumn("dup", F.row_number().over(w_first))
-            .filter(F.col("dup") == 1)
-            .drop("dup")
-        )
+        # (hash aggregate; the duplicate rows are identical in emb/qemb so
+        # the arbitrary survivor is equivalent)
+        candidates = candidates.dropDuplicates(["qid", "nid"])
     pairs = candidates.select("qid", "nid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (

@@ -21,9 +21,10 @@ _EN_STOPWORDS = _LANG_MARKERS["en"] + ["a", "an", "on", "with", "as", "at", "by"
 
 def _words(text_col: str):
     """Whitespace tokens with empties dropped — the ONE tokenization rule
-    shared by every text operator here and by operators/dedup.py:100 (the
-    shinglers).  Leading/trailing/consecutive whitespace never yields ''
-    tokens, so word counts agree across the whole text plane."""
+    shared by every text operator here AND by the dedup shinglers
+    (operators/dedup.py imports this function).  Leading/trailing/
+    consecutive whitespace never yields '' tokens, so word counts agree
+    across the whole text plane."""
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
 
 
