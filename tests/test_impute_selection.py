@@ -216,3 +216,22 @@ def test_kendall_pvalue_identical_across_paths():
         z = (P - Q) / math.sqrt(var)
         want = min(1.0, 2.0 * normal_sf_portable(abs(z)))
         assert p_fast == want
+
+
+def test_portable_erfc_fractional_accuracy():
+    """The NR rational erfc must stay within its published 1.2e-7
+    FRACTIONAL error of math.erfc across the whole relevant range —
+    including deep tails where absolute-error approximations collapse."""
+    import math
+
+    from tsfresh_spark.operators.selection import _nr_erfc
+
+    for x in np.concatenate(
+        [np.linspace(-6, 6, 4001), np.array([-25.0, -10.0, 10.0, 25.0])]
+    ):
+        true = math.erfc(float(x))
+        got = _nr_erfc(float(x))
+        if true == 0.0:
+            assert got == pytest.approx(0.0, abs=1e-300)
+        else:
+            assert abs(got - true) <= 1.3e-7 * abs(true), x
