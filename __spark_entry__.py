@@ -831,6 +831,37 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(docs, text_col="text", id_col="doc_id")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    from tsfresh_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, text_col="text", id_col="doc_id", k=3)
+
+
+_ORACLE_TFIDF = """
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+pairs AS (SELECT doc_id, UNNEST(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM pairs GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(t.tf * (LN((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 _ORACLE_TOKEN_COUNT = """
 WITH w AS (
   SELECT doc_id,
@@ -1859,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "number_peaks": q_number_peaks,
         "reoccurring_stats": q_reoccurring,
         "c3_time_reversal": q_lag_products,
@@ -1892,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _ORACLE_LANGUAGE_ID,
         "quality_score": _ORACLE_QUALITY_SCORE,
         "token_count": _ORACLE_TOKEN_COUNT,
+        "tfidf_top_terms": _ORACLE_TFIDF,
         "number_peaks": _ORACLE_NUMBER_PEAKS,
         "reoccurring_stats": _ORACLE_REOCCURRING,
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,

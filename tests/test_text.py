@@ -71,3 +71,32 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     rows = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert rows[1] == rows[2]
+
+
+def test_tfidf_top_terms_golden(spark):
+    """Hand-checkable 3-doc corpus: smooth idf = ln((N+1)/(df+1)) + 1."""
+    import math
+
+    from tsfresh_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(df, k=2).toPandas()
+    rows = {(r.doc_id, r.term): r for _, r in out.iterrows()}
+    # apple: tf=2 in doc1, df=1 → idf = ln(4/2)+1
+    r = rows[(1, "apple")]
+    assert r.tf == 2 and r.df == 1
+    assert r.tfidf == round(2 * (math.log(4 / 2) + 1), 6)
+    # durian: tf=1 df=1 beats cherry (tf=3, df=2) in doc 3? compare:
+    cherry3 = 3 * (math.log(4 / 3) + 1)
+    durian = 1 * (math.log(4 / 2) + 1)
+    assert rows[(3, "cherry")].tfidf == round(cherry3, 6)
+    assert rows[(3, "durian")].tfidf == round(durian, 6)
+    # top-2 per doc only
+    assert (out.groupby("doc_id").size() <= 2).all()

@@ -5,7 +5,7 @@ aggregate) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # small multilingual stopword sets for the n-gram language heuristic
@@ -164,4 +164,52 @@ def fingerprint(
         F.coalesce(
             F.array_min(F.transform(grams, lambda g: F.xxhash64(g))), F.xxhash64(F.col(text_col))
         ).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``(id, term, tf, df, tfidf)``.
+
+    Standard smooth-idf form ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` over
+    whitespace tokens (the shared ``_words`` rule), where ``tf`` is the raw
+    in-document term count and ``df`` the number of documents containing
+    the term.  Ranking happens on the ROUNDED score with the term string as
+    tie-breaker so the selection is reproducible in any engine.
+
+    Scale shape: one explode + two hash aggregations (doc-term counts,
+    document frequencies) + a broadcast of the corpus size; the df join
+    shuffles on the term key, and the final top-k is a per-document window
+    — no driver-side collection anywhere.
+    """
+    words = _words(text_col)
+    pairs = df.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count_distinct(id_col).cast("long").alias("df"))
+    )
+    n_docs = df.select(F.count_distinct(id_col)).collect()[0][0]
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            ),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
     )
