@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+compact JSON line (headline fields FIRST, so a truncating tail capture
+still yields the metric):
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "history": {name: [sec, ...]}, ...}
+     "tokens_per_sec": ..., "queries": {name: sec, ...}, ...}
+
+The full per-pass run history (the variance evidence) is written to
+BENCH_HISTORY.json next to this script rather than embedded in stdout —
+in round 3 the embedded history outgrew the driver's tail capture and the
+artifact of record lost its machine-readable headline.
 
 Variance control: this host swings up to ±2x run-to-run (shared
 frequency/cache/membw), so every query runs in N_PASSES interleaved passes
@@ -87,8 +93,131 @@ def ann_quality(spark, sf_dir: str) -> dict:
         )
     )
     out["cosine_topk_lsh_sec"] = round(time.perf_counter() - t0, 3)
-    out["ivf_recall_at_3"] = round(len(exact & ivf) / len(exact), 4)
-    out["lsh_recall_at_3"] = round(len(exact & lsh) / len(exact), 4)
+    # guard: an sf dir with no vec_id < 32 yields an empty exact set —
+    # emit null recalls rather than killing the run after all timings
+    if exact:
+        out["ivf_recall_at_3"] = round(len(exact & ivf) / len(exact), 4)
+        out["lsh_recall_at_3"] = round(len(exact & lsh) / len(exact), 4)
+    else:
+        out["ivf_recall_at_3"] = None
+        out["lsh_recall_at_3"] = None
+    spark.catalog.clearCache()
+    return out
+
+
+def near_dup_scale(spark, sf: float) -> dict | None:
+    """Subquadratic evidence for the near-dup plane: run the three banded
+    pipelines once on a deterministic ≥200k-doc corpus (40× the sf0.1
+    documents table) and record candidate-pair counts, capped-bucket counts
+    and wall times.  The claim a 100-TB reviewer needs numbers for: the
+    banded joins keep candidate pairs ≪ n(n−1)/2 while still recovering
+    the injected near-duplicate population.
+
+    Runs only at sf ≥ 0.1 (the per-round driver bench) unless
+    SPARK_GRAFT_NEARDUP_DOCS overrides the doc count; set it to 0 to skip.
+    """
+    env = os.environ.get("SPARK_GRAFT_NEARDUP_DOCS")
+    n_docs = int(env) if env is not None else (200_000 if sf >= 0.1 else 0)
+    if n_docs <= 0:
+        return None
+    from pyspark import StorageLevel
+
+    from tsfresh_spark.operators.dedup import (
+        embedding_near_duplicates,
+        jaccard_verify,
+        lsh_bucket_report,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_near_duplicates,
+    )
+    from tsfresh_spark.sources.synthetic import embeddings_corpus, text_corpus
+
+    cpus = spark.sparkContext.defaultParallelism
+    out = {
+        "n_docs": n_docs,
+        "possible_pairs": n_docs * (n_docs - 1) // 2,
+        "max_bucket_size": 1024,
+    }
+    docs = text_corpus(spark, n_docs, n_partitions=cpus * 4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    docs.count()
+
+    # minhash+LSH: signatures once, then capped-bucket report, banded
+    # candidates, and exact-Jaccard scores over the candidates only
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs, text_col="text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    capped = lsh_bucket_report(sigs, max_bucket_size=1024).count()
+    cands = lsh_candidate_pairs(sigs, max_bucket_size=1024)
+    row = (
+        jaccard_verify(docs, cands, text_col="text", threshold=0.0)
+        .agg(
+            F.count("*").alias("c"),
+            F.count_if(F.col("jaccard") >= 0.8).alias("v"),
+        )
+        .collect()[0]
+    )
+    out["minhash"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "candidate_pairs": row["c"],
+        "verified_pairs": row["v"],
+        "capped_buckets": capped,
+        "candidate_frac_of_n2": round(row["c"] / out["possible_pairs"], 8),
+    }
+    sigs.unpersist()
+
+    # simhash: max_hamming=64 keeps every banded candidate in the output so
+    # one aggregate yields candidate AND verified (≤3) counts
+    t0 = time.perf_counter()
+    row = (
+        simhash_near_duplicates(
+            docs, text_col="text", max_hamming=64, max_bucket_size=1024
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.count_if(F.col("hamming") <= 3).alias("v"),
+        )
+        .collect()[0]
+    )
+    out["simhash"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "candidate_pairs": row["c"],
+        "verified_pairs": row["v"],
+        "candidate_frac_of_n2": round(row["c"] / out["possible_pairs"], 8),
+    }
+    docs.unpersist()
+
+    # embedding sign-LSH: threshold −1 keeps every bucketed candidate, so
+    # the same single-aggregate trick applies (verified = cosine ≥ 0.9)
+    emb = embeddings_corpus(spark, n_docs, dim=32, n_partitions=cpus * 4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    row = (
+        embedding_near_duplicates(
+            emb,
+            dim=32,
+            threshold=-1.0,
+            num_planes=16,
+            num_tables=4,
+            max_bucket_size=1024,
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.count_if(F.col("cosine") >= 0.9).alias("v"),
+        )
+        .collect()[0]
+    )
+    out["embedding"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "candidate_pairs": row["c"],
+        "verified_pairs": row["v"],
+        "candidate_frac_of_n2": round(row["c"] / out["possible_pairs"], 8),
+    }
+    emb.unpersist()
     spark.catalog.clearCache()
     return out
 
@@ -191,31 +320,36 @@ def main() -> None:
 
     ann = ann_quality(spark, sf_dir)
 
+    near_dup = near_dup_scale(spark, sf)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "history": history,
-                "passes": N_PASSES,
-                "sf": sf,
-                "tokens_per_sec": tokens_per_sec,
-                "total_tokens": int(total_tokens),
-                "events_tokens_per_sec": events_tokens_per_sec,
-                "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
-                "ann": ann,
-                "cpus": cpus,
-                "method": (
-                    f"min over {N_PASSES} interleaved full-suite passes "
-                    "(host swings ±2x; min is the engine-speed signal, "
-                    "history carries the spread)"
-                ),
-            }
-        )
+    payload = {
+        # headline fields FIRST — a truncated tail capture still parses them
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "tokens_per_sec": tokens_per_sec,
+        "total_tokens": int(total_tokens),
+        "events_tokens_per_sec": events_tokens_per_sec,
+        "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
+        "queries": timings,
+        "passes": N_PASSES,
+        "ann": ann,
+        "near_dup_scale": near_dup,
+        "cpus": cpus,
+        "method": (
+            f"min over {N_PASSES} interleaved full-suite passes "
+            "(host swings ±2x; min is the engine-speed signal, "
+            "BENCH_HISTORY.json carries the spread)"
+        ),
+    }
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
     )
+    with open(hist_path, "w") as fh:
+        json.dump({"history": history, **payload}, fh, indent=1)
+    print(json.dumps(payload))
     spark.stop()
 
 
