@@ -141,3 +141,64 @@ def test_hybrid_kind_to_settings_equals_kernels(spark, tokens_df):
     code = m[m.source == "code"].iloc[0].features
     assert set(k.split("__")[1] for k in web) == set(minimal_settings())
     assert set(k.split("__")[1] for k in code) == {"maximum", "abs_energy"}
+
+
+@pytest.fixture(scope="module")
+def null_kind_df(spark, tokens_df):
+    """tokens_df with a NULL-kind population mixed in."""
+    nulls = spark.createDataFrame(
+        [(f"n{i}", list(range(3 + i, 23 + i)), None) for i in range(4)],
+        "doc_id string, tokens array<int>, source string",
+    )
+    return tokens_df.unionByName(nulls)
+
+
+def test_hybrid_null_kind_equals_kernels(spark, null_kind_df):
+    """NULL kinds: the kernels engine names features str(None) → 'None__…';
+    the Catalyst branch must coalesce the kind to match (a bare concat
+    yields NULL keys — map output then dies in map_from_entries)."""
+    settings = minimal_settings()
+    a = _collect(
+        extract_features_tokens(null_kind_df, settings, engine="kernels")
+    )
+    b = _collect(
+        extract_features_tokens(null_kind_df, settings, engine="hybrid")
+    )
+    assert list(a.variable) == list(b.variable)
+    assert any(v.startswith("None__") for v in b.variable)
+    va, vb = a.value.values, b.value.values
+    both_nan = pd.isna(va) & pd.isna(vb)
+    assert (both_nan | (va == vb)).all()
+
+    # map output must not raise on the NULL-kind rows and must agree too
+    am = extract_features_tokens(
+        null_kind_df, settings, engine="kernels", output="map"
+    ).toPandas().set_index("doc_id")
+    bm = extract_features_tokens(
+        null_kind_df, settings, engine="hybrid", output="map"
+    ).toPandas().set_index("doc_id")
+    for doc in am.index:
+        fa, fb = dict(am.loc[doc, "features"]), dict(bm.loc[doc, "features"])
+        assert fa.keys() == fb.keys()
+        for key in fa:
+            va, vb = fa[key], fb[key]
+            assert (pd.isna(va) and pd.isna(vb)) or va == vb, (doc, key)
+
+    # and through kind_to_settings routing: NULL rows take the default
+    # branch in BOTH engines, with the same 'None__' naming
+    kw = dict(kind_to_settings={"web": {"maximum": None}})
+    a = _collect(
+        extract_features_tokens(
+            null_kind_df, {"minimum": None}, engine="kernels", **kw
+        )
+    )
+    b = _collect(
+        extract_features_tokens(
+            null_kind_df, {"minimum": None}, engine="hybrid", **kw
+        )
+    )
+    assert list(a.variable) == list(b.variable)
+    assert any(v == "None__minimum" for v in b.variable)
+    va, vb = a.value.values, b.value.values
+    both_nan = pd.isna(va) & pd.isna(vb)
+    assert (both_nan | (va == vb)).all()

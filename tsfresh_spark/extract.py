@@ -338,7 +338,11 @@ def _extract_tokens_hybrid(
     ``kind_to_settings`` routes each listed kind through its own expression
     split via a filtered branch per kind (filters push to the scan; the
     number of kinds is small, so the extra scans are cheap and each branch
-    keeps its own fully-compiled Catalyst plan)."""
+    keeps its own fully-compiled Catalyst plan).  Caveat: each branch
+    re-executes the full upstream plan of ``df`` — cheap for a bare parquet
+    scan (the intended input), but if ``df`` is a derived frame
+    (join/aggregation upstream) persist() or localCheckpoint() it before
+    calling, or the subplan runs len(kinds)+1 times."""
     from tsfresh_spark.functions.sql_features import hybrid_plan
 
     if kind_to_settings:
@@ -377,6 +381,10 @@ def _extract_tokens_hybrid(
         return out
 
     covered, rest = hybrid_plan(tokens_col, settings)
+    # NULL kinds: the kernels engine names features str(kind) → "None__…";
+    # a bare concat(kind, '__…') would be NULL (map_from_entries then
+    # rejects the null key at runtime, long output emits NULL variables)
+    kind_key = F.coalesce(F.col(kind_col).cast("string"), F.lit("None"))
     if output == "map":
         feat = None
         if covered:
@@ -385,7 +393,7 @@ def _extract_tokens_hybrid(
                     *[
                         F.struct(
                             F.concat(
-                                F.col(kind_col), F.lit(f"__{suffix}")
+                                kind_key, F.lit(f"__{suffix}")
                             ).alias("key"),
                             expr.cast("double").alias("value"),
                         )
@@ -407,7 +415,7 @@ def _extract_tokens_hybrid(
         entries = F.array(
             *[
                 F.struct(
-                    F.concat(F.col(kind_col), F.lit(f"__{suffix}")).alias("variable"),
+                    F.concat(kind_key, F.lit(f"__{suffix}")).alias("variable"),
                     expr.cast("double").alias("value"),
                 )
                 for suffix, expr in covered

@@ -139,6 +139,12 @@ def minhash_signatures(
     engine, used by the correctness oracle.  Both run entirely in Catalyst:
     transform + aggregate over the shingle array, one row per doc, no
     shuffle.
+
+    Row-set contract (changed in round 3, both families): documents with
+    fewer than ``shingle_n`` words have no shingles and emit NO signature
+    row — downstream joins on the signature table must not assume one row
+    per input doc.  Before round 3 the xxhash64 family emitted a
+    (meaningless) row for such docs; the families now agree.
     """
     sh = _shingles(text_col, shingle_n).alias("shingles")
     if hash_family == "portable":

@@ -184,9 +184,10 @@ def tfidf_top_terms(
     tie-breaker so the selection is reproducible in any engine.
 
     Scale shape: one explode + two hash aggregations (doc-term counts,
-    document frequencies) + a broadcast of the corpus size; the df join
-    shuffles on the term key, and the final top-k is a per-document window
-    — no driver-side collection anywhere.
+    document frequencies); the df join shuffles on the term key, and the
+    final top-k is a per-document window.  The corpus size rides along as a
+    broadcast 1-row aggregate (a scalar subquery, not a driver collect), so
+    the whole operator is ONE Spark job with no eager work up front.
     """
     words = _words(text_col)
     pairs = df.select(F.col(id_col), F.explode(words).alias("term"))
@@ -195,17 +196,24 @@ def tfidf_top_terms(
         pairs.groupBy("term")
         .agg(F.count_distinct(id_col).cast("long").alias("df"))
     )
-    n_docs = df.select(F.count_distinct(id_col)).collect()[0][0]
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf")
-            * (
-                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
-                + 1.0
+    ndocs = F.broadcast(
+        df.agg(F.count_distinct(id_col).cast("double").alias("_n_docs"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndocs)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                round_digits,
             ),
-            round_digits,
-        ),
+        )
+        .drop("_n_docs")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
