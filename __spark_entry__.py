@@ -1113,6 +1113,166 @@ FROM grid g LEFT JOIN per_seg p
 
 
 # ---------------------------------------------------------------------------
+# fft plane: fft_coefficient (k ≤ 4, all four attrs) + fft_aggregated moments
+# — the single most-used advanced family (400 of the 794 default columns are
+# fft_coefficient; reference feature_calculators.py:1067-1231).  The oracle
+# replays the spectrum as explicit DFT sums Σ v·cos(2πjk/n) / −Σ v·sin(…).
+# ---------------------------------------------------------------------------
+
+_FFT_ATTRS = ("real", "imag", "abs", "angle")
+_FFT_MAX_K = 4  # coeff 0..4; series here are 3–24 points so k>n//2 → NULL
+
+
+def q_fft_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.fft.rfft kernel vs explicit-DFT oracle.  Values are squeezed to
+    pmod(v, 97) (small nonnegative integers) so the rounded(6) comparison
+    has ~1e-13 cross-engine divergence against a 5e-7 quantum; DC and
+    Nyquist bins are integer-exact on both sides.  ``+ 0.0`` normalizes
+    IEEE −0.0 (DuckDB's −SUM path) to +0.0."""
+    from tsfresh_spark.extract import extract_features_tokens
+
+    ev = _events_long(spark, sf_dir)
+    toks = (
+        ev.withColumn("v", F.pmod("v", F.lit(97)))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
+                lambda s: s["v"],
+            ).alias("tokens")
+        )
+    )
+    settings = {
+        "fft_coefficient": [
+            {"coeff": k, "attr": a}
+            for k in range(_FFT_MAX_K + 1)
+            for a in _FFT_ATTRS
+        ],
+        "fft_aggregated": [
+            {"aggtype": t}
+            for t in ("centroid", "variance", "skew", "kurtosis")
+        ],
+    }
+    feats = extract_features_tokens(
+        toks, settings, id_col="user_id", kind_col="event_type"
+    )
+    val = F.round("value", 6) + F.lit(0.0)
+    # canonicalize the branch cut: an analytically-zero imag with negative
+    # real is ±180° depending on the sign of ~1e-14 residual noise (happens
+    # whenever k divides n and the grouped sums coincide, not just at
+    # DC/Nyquist) — both sides map −180 → 180
+    val = F.when(
+        F.col("variable").contains('attr_"angle"') & (val == -180.0),
+        F.lit(180.0),
+    ).otherwise(val)
+    return feats.select(
+        "user_id", "event_type", "variable", val.alias("value")
+    )
+
+
+_ORACLE_FFT_PLANE = f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+expanded AS (
+  SELECT user_id, event_type, v, j, n, UNNEST(range(0, n//2 + 1)) AS k
+  FROM ord
+),
+spec AS (
+  SELECT user_id, event_type, k, ANY_VALUE(n) AS n,
+         SUM(v * COS(2*PI()*j*k/n)) AS re_raw,
+         -SUM(v * SIN(2*PI()*j*k/n)) AS im_raw
+  FROM expanded GROUP BY user_id, event_type, k
+),
+-- DC and Nyquist imag are analytically zero: numpy's rfft stores exact 0.0
+-- there while the naive sin-sum leaves ~1e-13 noise whose SIGN would flip
+-- atan2 between ±180 — pin them to 0.0 (re at those bins is an exact ±1
+-- integer sum on both sides)
+coef AS (
+  SELECT user_id, event_type, k, n, re_raw AS re,
+         CASE WHEN k = 0 OR 2*k = n THEN 0.0 ELSE im_raw END AS im
+  FROM spec
+),
+series AS (SELECT DISTINCT user_id, event_type FROM base),
+grid AS (
+  SELECT user_id, event_type, UNNEST(range(0, {_FFT_MAX_K + 1})) AS k
+  FROM series
+),
+fc AS (
+  SELECT g.user_id, g.event_type, g.k, c.re, c.im
+  FROM grid g LEFT JOIN coef c
+    ON g.user_id = c.user_id AND g.event_type = c.event_type AND g.k = c.k
+),
+mom AS (
+  SELECT user_id, event_type,
+         NULLIF(SUM(SQRT(re*re + im*im)), 0) AS m0,
+         SUM(SQRT(re*re + im*im) * k)       AS s1,
+         SUM(SQRT(re*re + im*im) * k*k)     AS s2,
+         SUM(SQRT(re*re + im*im) * k*k*k)   AS s3,
+         SUM(SQRT(re*re + im*im) * k*k*k*k) AS s4
+  FROM coef GROUP BY user_id, event_type
+),
+agg AS (
+  SELECT user_id, event_type,
+         s1/m0 AS c, s2/m0 AS m2, s3/m0 AS m3, s4/m0 AS m4,
+         (s2/m0) - (s1/m0)*(s1/m0) AS var
+  FROM mom
+)
+SELECT user_id, event_type,
+       event_type || '__fft_coefficient__attr_"real"__coeff_' || k AS variable,
+       ROUND(re, 6) + 0.0 AS value
+FROM fc
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_coefficient__attr_"imag"__coeff_' || k,
+       ROUND(im, 6) + 0.0
+FROM fc
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_coefficient__attr_"abs"__coeff_' || k,
+       ROUND(SQRT(re*re + im*im), 6) + 0.0
+FROM fc
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_coefficient__attr_"angle"__coeff_' || k,
+       -- branch-cut canonicalization: −180 → 180 (mirrors the Spark side)
+       CASE WHEN ROUND(DEGREES(ATAN2(im, re)), 6) + 0.0 = -180.0 THEN 180.0
+            ELSE ROUND(DEGREES(ATAN2(im, re)), 6) + 0.0 END
+FROM fc
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_aggregated__aggtype_"centroid"',
+       ROUND(c, 6) + 0.0
+FROM agg
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_aggregated__aggtype_"variance"',
+       ROUND(var, 6) + 0.0
+FROM agg
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_aggregated__aggtype_"skew"',
+       CASE WHEN var < 0.5 THEN NULL
+            ELSE ROUND((m3 - 3*c*var - c*c*c) / POWER(var, 1.5), 6) + 0.0 END
+FROM agg
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__fft_aggregated__aggtype_"kurtosis"',
+       CASE WHEN var < 0.5 THEN NULL
+            ELSE ROUND((m4 - 4*c*m3 + 6*m2*c*c - 3*c) / (var*var), 6) + 0.0 END
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # q22: as-of join — for each click, the user's latest prior purchase value
 # ---------------------------------------------------------------------------
 
@@ -1895,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reoccurring_stats": q_reoccurring,
         "c3_time_reversal": q_lag_products,
         "energy_ratio_chunks": q_energy_ratio,
+        "fft_coefficients": q_fft_plane,
         "asof_join": q_asof_join,
         "distribution_checks": q_distribution_checks,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1929,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "reoccurring_stats": _ORACLE_REOCCURRING,
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
+        "fft_coefficients": _ORACLE_FFT_PLANE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
         "minhash_near_dups": _minhash_oracle_sql(),
