@@ -1273,6 +1273,170 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# matrix-profile grid: the opt-in 794-feature surface
+# (comprehensive_settings(include_matrix_profile=True); reference grid
+# settings.py:282-293, calculator feature_calculators.py:2385-2471).  The
+# oracle recomputes the m=8 STOMP profile brute-force (z-normalized
+# Euclidean distance over all |i−j| ≥ 3 window pairs) and asserts the
+# 794-per-series column count.
+# ---------------------------------------------------------------------------
+
+
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full comprehensive+matrix_profile extraction over the long path with
+    a single timestamp sort column (timewise kernels engage → the complete
+    794 grid per series).  Series here are 3–24 points, so the reference's
+    maximum-subsequence window search always resolves to the single m=8
+    profile (16 ≤ n < 32 ⇒ the doubling loop runs exactly once) and n < 16
+    series are NaN — both mirrored in the oracle.  Output: the six
+    matrix_profile features (rounded 6) plus a per-series ``_n_features``
+    count row."""
+    _prep(spark)
+    from tsfresh_spark.extract import extract_features_long
+    from tsfresh_spark.settings import comprehensive_settings
+
+    ev = _events_long(spark, sf_dir)
+    long_df = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.pmod("v", F.lit(97)).cast("double").alias("value"),
+    )
+    feats = extract_features_long(
+        long_df,
+        comprehensive_settings(include_matrix_profile=True),
+        column_id="user_id",
+        column_kind="event_type",
+        column_sort="ts",
+        column_value="value",
+    )
+    counts = (
+        feats.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            "user_id",
+            "event_type",
+            F.lit("_n_features").alias("variable"),
+            "value",
+        )
+    )
+    mp = feats.filter(F.col("variable").contains("__matrix_profile__")).select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+    return mp.unionByName(counts)
+
+
+_ORACLE_MATRIX_PROFILE = """
+WITH base AS (
+  SELECT user_id, event_type, ts,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+-- per-window (m=8) mean / population std / constant mask
+wstat AS (
+  SELECT user_id, event_type, i AS w,
+         AVG(v)        OVER win8 AS mu,
+         STDDEV_POP(v) OVER win8 AS sig,
+         MAX(v) OVER win8 = MIN(v) OVER win8 AS flat,
+         COUNT(*) OVER win8 AS cnt
+  FROM ord
+  WINDOW win8 AS (PARTITION BY user_id, event_type ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+-- sliding dot products along each diagonal d ≥ excl+1 = 3
+diag AS (
+  SELECT a.user_id, a.event_type, b.i - a.i AS d, a.i AS pos,
+         CAST(a.v * b.v AS DOUBLE) AS p
+  FROM ord a JOIN ord b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND b.i - a.i >= 3
+),
+qt AS (
+  SELECT user_id, event_type, d, pos AS i,
+         SUM(p)     OVER dwin AS qt,
+         COUNT(*)   OVER dwin AS cnt
+  FROM diag
+  WINDOW dwin AS (PARTITION BY user_id, event_type, d ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+dist AS (
+  SELECT q.user_id, q.event_type, q.i, q.i + q.d AS j,
+         CASE WHEN wi.flat AND wj.flat THEN 0.0
+              WHEN wi.flat OR  wj.flat THEN SQRT(8.0)
+              ELSE SQRT(GREATEST(
+                2.0*8*(1.0 - (q.qt - 8*wi.mu*wj.mu) / (8*wi.sig*wj.sig)),
+                0.0))
+         END AS dist
+  FROM qt q
+  JOIN wstat wi ON wi.user_id = q.user_id AND wi.event_type = q.event_type
+               AND wi.w = q.i AND wi.cnt = 8
+  JOIN wstat wj ON wj.user_id = q.user_id AND wj.event_type = q.event_type
+               AND wj.w = q.i + q.d AND wj.cnt = 8
+  WHERE q.cnt = 8
+),
+prof AS (
+  SELECT user_id, event_type, w, MIN(dist) AS mp FROM (
+    SELECT user_id, event_type, i AS w, dist FROM dist
+    UNION ALL
+    SELECT user_id, event_type, j AS w, dist FROM dist
+  ) GROUP BY user_id, event_type, w
+),
+stats AS (
+  SELECT user_id, event_type,
+         MIN(mp) AS f_min, MAX(mp) AS f_max, AVG(mp) AS f_mean,
+         QUANTILE_CONT(mp, 0.5)  AS f_median,
+         QUANTILE_CONT(mp, 0.25) AS f_25,
+         QUANTILE_CONT(mp, 0.75) AS f_75
+  FROM prof GROUP BY user_id, event_type
+),
+series AS (SELECT user_id, event_type, ANY_VALUE(n) AS n
+           FROM ord GROUP BY user_id, event_type),
+-- the reference's maximum-subsequence path returns NaN below 16 points;
+-- our series never reach 32, so the doubling search is exactly the m=8
+-- profile for every eligible series
+joined AS (
+  SELECT s.user_id, s.event_type,
+         CASE WHEN s.n >= 16 THEN st.f_min    END AS f_min,
+         CASE WHEN s.n >= 16 THEN st.f_max    END AS f_max,
+         CASE WHEN s.n >= 16 THEN st.f_mean   END AS f_mean,
+         CASE WHEN s.n >= 16 THEN st.f_median END AS f_median,
+         CASE WHEN s.n >= 16 THEN st.f_25     END AS f_25,
+         CASE WHEN s.n >= 16 THEN st.f_75     END AS f_75
+  FROM series s LEFT JOIN stats st
+    ON s.user_id = st.user_id AND s.event_type = st.event_type
+)
+SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"min"__threshold_0.98' AS variable,
+       ROUND(f_min, 6) + 0.0 AS value FROM joined
+UNION ALL SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"max"__threshold_0.98',
+       ROUND(f_max, 6) + 0.0 FROM joined
+UNION ALL SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"mean"__threshold_0.98',
+       ROUND(f_mean, 6) + 0.0 FROM joined
+UNION ALL SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"median"__threshold_0.98',
+       ROUND(f_median, 6) + 0.0 FROM joined
+UNION ALL SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"25"__threshold_0.98',
+       ROUND(f_25, 6) + 0.0 FROM joined
+UNION ALL SELECT user_id, event_type,
+       event_type || '__matrix_profile__feature_"75"__threshold_0.98',
+       ROUND(f_75, 6) + 0.0 FROM joined
+UNION ALL SELECT user_id, event_type, '_n_features', 794.0 FROM joined
+"""
+
+
+# ---------------------------------------------------------------------------
 # q22: as-of join — for each click, the user's latest prior purchase value
 # ---------------------------------------------------------------------------
 
@@ -2056,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_time_reversal": q_lag_products,
         "energy_ratio_chunks": q_energy_ratio,
         "fft_coefficients": q_fft_plane,
+        "matrix_profile_grid": q_matrix_profile,
         "asof_join": q_asof_join,
         "distribution_checks": q_distribution_checks,
         "minhash_near_dups": q_minhash_near_dups,
@@ -2091,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
         "fft_coefficients": _ORACLE_FFT_PLANE,
+        "matrix_profile_grid": _ORACLE_MATRIX_PROFILE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
         "minhash_near_dups": _minhash_oracle_sql(),
