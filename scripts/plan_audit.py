@@ -32,15 +32,15 @@ def headline(plan: str, max_ops: int = 40) -> str:
     return "\n".join(lines[:max_ops])
 
 
-def main() -> int:
+def run_audit(
+    spark, sf_dir: str = SF_DIR, write_md: bool = True
+) -> list[str]:
+    """Audit every plan contract against ``spark``; returns the list of
+    failed contracts (empty == all green).  ``write_md`` regenerates the
+    checked-in PLAN_AUDIT.md — the CLI path does, the in-suite test
+    (tests/test_plan_audit.py) only asserts."""
     from pyspark.sql import functions as F
 
-    from tsfresh_spark.session import build_session
-
-    spark = build_session(
-        "plan-audit", master="local[8]", shuffle_partitions=8
-    )
-    spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -68,7 +68,7 @@ def main() -> int:
     from tsfresh_spark.sources.tables import events_tokens
 
     tok_path = "/tmp/plan_audit_tokens.parquet"
-    events_tokens(spark, SF_DIR).write.mode("overwrite").parquet(tok_path)
+    events_tokens(spark, sf_dir).write.mode("overwrite").parquet(tok_path)
     toks = spark.read.parquet(tok_path)
     audit(
         "extract_features_tokens (kernels, map output)",
@@ -108,7 +108,7 @@ def main() -> int:
     # 3. grouped long-format extraction: exactly one shuffle, pinned
     from tsfresh_spark.extract import extract_features_long
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").alias("id"),
         F.col("event_type").alias("kind"),
         F.col("ts").alias("time"),
@@ -131,7 +131,7 @@ def main() -> int:
     # 4. brute-force cosine top-k: broadcast the small query side
     audit(
         "embedding_cosine_topk",
-        qs["embedding_cosine_topk"](spark, SF_DIR),
+        qs["embedding_cosine_topk"](spark, sf_dir),
         [
             ("query side broadcast", lambda p: "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p),
         ],
@@ -142,7 +142,7 @@ def main() -> int:
     # 5. semantic near-dup: equi-join on (table, bucket), never all-pairs
     audit(
         "embedding_near_dups",
-        qs["embedding_near_dups"](spark, SF_DIR),
+        qs["embedding_near_dups"](spark, sf_dir),
         [
             ("no CartesianProduct", lambda p: "CartesianProduct" not in p),
             ("no BroadcastNestedLoopJoin", lambda p: "BroadcastNestedLoopJoin" not in p),
@@ -152,7 +152,7 @@ def main() -> int:
     )
 
     # 6. scan hygiene: filter + projection pushed into the parquet scan
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pruned = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
     audit(
         "documents scan (filter + projection)",
@@ -175,7 +175,7 @@ def main() -> int:
         base_step_seconds=3600,
         base_impl="compact",
     )
-    pts = em._events_long(spark, SF_DIR).select(
+    pts = em._events_long(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.col("ts").cast("timestamp").cast("long").alias("ts"),
@@ -195,16 +195,33 @@ def main() -> int:
         "decode + split payloads INSIDE the UDF — zero additional shuffle.",
     )
 
-    body = (
-        "# PLAN AUDIT — physical plans of the representative queries\n\n"
-        f"Generated by `scripts/plan_audit.py` at `{SF_DIR}` (plans are "
-        "shape-stable across SFs).  Every ✅ is also enforced as a hard "
-        "assertion — the script exits non-zero on regression, and the same "
-        "contracts are unit-tested in `tests/test_plans.py`.\n\n"
-        + "\n".join(sections)
+    if write_md:
+        body = (
+            "# PLAN AUDIT — physical plans of the representative queries\n\n"
+            f"Generated by `scripts/plan_audit.py` at `{sf_dir}` (plans are "
+            "shape-stable across SFs).  Every ✅ is also enforced as a hard "
+            "assertion — the script exits non-zero on regression, and the "
+            "same contracts run inside the suite "
+            "(tests/test_plan_audit.py + tests/test_plans.py).\n\n"
+            + "\n".join(sections)
+        )
+        md_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLAN_AUDIT.md",
+        )
+        with open(md_path, "w") as f:
+            f.write(body)
+    return failures
+
+
+def main() -> int:
+    from tsfresh_spark.session import build_session
+
+    spark = build_session(
+        "plan-audit", master="local[8]", shuffle_partitions=8
     )
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.md"), "w") as f:
-        f.write(body)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = run_audit(spark, SF_DIR, write_md=True)
     spark.stop()
     if failures:
         print("PLAN CONTRACT FAILURES:")
