@@ -430,3 +430,136 @@ def test_matrix_profile_large_offset_robust():
         )
     )
     assert res['feature_"min"__windows_16'] > 0.1
+
+
+# ------------------------------------------------- cwt closed-form (class 2)
+
+
+def test_cwt_cosine_matches_analytic_ricker_fourier_response():
+    """Closed-form evidence class for the cwt VALUES (the snapshot above
+    only pins bit-stability): the scipy-normalized Ricker wavelet
+    ψ_a(τ) = 2/(√(3a)·π^¼)·(1−τ²/a²)·e^(−τ²/(2a²)) has the published
+    Fourier transform
+
+        ψ̂_a(ω) = 2√(2π)/(√3·π^¼) · a^(5/2) · ω² · e^(−a²ω²/2)
+
+    (Gaussian FT + two derivatives — textbook math, independent of any
+    implementation).  For x[n] = cos(ωn) the interior "same"-convolution
+    response is ψ̂_a(ω)·cos(ω(n−δ)) up to the e^(−12.5) ≈ 4e−6 truncation
+    of the 10a-point kernel support; the half-sample phase δ of the
+    even-length kernel cancels in the quadrature pair
+    √(y[t]² + y[t+Δ]²) with ω·Δ = π/2."""
+    n = np.arange(400)
+    omega = np.pi / 10  # quadrature offset Δ = 5 samples
+    x = np.cos(omega * n)
+    for a in (5, 8):
+        res = dict(
+            k("cwt_coefficients")(
+                x,
+                [
+                    {"widths": (a,), "coeff": 200, "w": a},
+                    {"widths": (a,), "coeff": 205, "w": a},
+                ],
+            )
+        )
+        amp = np.hypot(
+            res[f"coeff_200__w_{a}__widths_({a},)"],
+            res[f"coeff_205__w_{a}__widths_({a},)"],
+        )
+        expected = (
+            2.0 * np.sqrt(2.0 * np.pi) / (np.sqrt(3.0) * np.pi**0.25)
+            * a**2.5 * omega**2 * np.exp(-(a**2) * omega**2 / 2.0)
+        )
+        assert amp == pytest.approx(expected, rel=1e-3), (a, amp, expected)
+
+
+# ------------------------------------------------- ADF closed-form (class 2)
+
+
+def test_adf_lag0_hand_ols_algebra():
+    """A 5-point series forces maxlag = 0 (nobs//2 − 2 = 0), so the ADF
+    regression is the textbook two-parameter OLS of Δx_t on [x_{t−1}, 1] —
+    hand-computable with scalar Sxx/Sxy sums (no linear algebra library),
+    t = β̂/(s/√Sxx).  Independent algebra for the same published statistic;
+    any drift in design-matrix construction, dof, or the t formula lands
+    here."""
+    x = [2.0, 5.0, 3.0, 4.0, 1.0]
+    dx = [b - a for a, b in zip(x, x[1:])]
+    xl = x[:-1]
+    m = len(dx)
+    mx, my = sum(xl) / m, sum(dx) / m
+    sxx = sum((a - mx) ** 2 for a in xl)
+    sxy = sum((a - mx) * (b - my) for a, b in zip(xl, dx))
+    beta = sxy / sxx
+    alpha = my - beta * mx
+    ssr = sum((yv - (alpha + beta * xv)) ** 2 for xv, yv in zip(xl, dx))
+    s2 = ssr / (m - 2)
+    t_expected = beta / (s2 / sxx) ** 0.5
+
+    res = dict(
+        k("augmented_dickey_fuller")(
+            np.array(x), [{"attr": a} for a in ("teststat", "usedlag")]
+        )
+    )
+    assert res['attr_"usedlag"__autolag_"AIC"'] == 0
+    assert res['attr_"teststat"__autolag_"AIC"'] == pytest.approx(
+        t_expected, rel=1e-12
+    )
+
+
+def test_adf_aic_selection_and_final_fit_independent_ols():
+    """A/B the whole ADF pipeline on an AR(1) series against a straight
+    re-implementation of the published procedure: per-lag lstsq fits on the
+    common sample (vs the kernel's shared-Gram prefix solver), the Gaussian
+    AIC = −2llf + 2k, and a normal-equations final fit with the textbook
+    t-statistic from (XᵀX)⁻¹ — different numeric paths throughout."""
+    rng = np.random.RandomState(7)
+    e = rng.normal(0, 1, 80)
+    x = np.empty(80)
+    x[0] = e[0]
+    for t in range(1, 80):
+        x[t] = 0.6 * x[t - 1] + e[t]
+
+    xdiff = np.diff(x)
+    nobs_full = len(x)
+    maxlag = min(
+        nobs_full // 2 - 2, int(np.ceil(12.0 * (nobs_full / 100.0) ** 0.25))
+    )
+
+    def design(lag, start, nobs):
+        cols = [x[start : start + nobs]]
+        cols += [xdiff[start - j : start - j + nobs] for j in range(1, lag + 1)]
+        cols.append(np.ones(nobs))
+        return np.column_stack(cols)
+
+    aics = []
+    nobs_sel = len(xdiff) - maxlag
+    y_sel = xdiff[maxlag:]
+    for lag in range(maxlag + 1):
+        X = design(lag, maxlag, nobs_sel)
+        beta, *_ = np.linalg.lstsq(X, y_sel, rcond=None)
+        ssr = float(((y_sel - X @ beta) ** 2).sum())
+        llf = -nobs_sel / 2.0 * (
+            np.log(2 * np.pi) + np.log(ssr / nobs_sel) + 1.0
+        )
+        aics.append(-2.0 * llf + 2.0 * (2 + lag))
+    lag_star = int(np.argmin(aics))
+
+    nobs = len(xdiff) - lag_star
+    y = xdiff[lag_star:]
+    X = design(lag_star, lag_star, nobs)
+    XtX_inv = np.linalg.inv(X.T @ X)
+    beta = XtX_inv @ X.T @ y
+    ssr = float(((y - X @ beta) ** 2).sum())
+    s2 = ssr / (nobs - X.shape[1])
+    t_expected = beta[0] / np.sqrt(s2 * XtX_inv[0, 0])
+
+    res = dict(
+        k("augmented_dickey_fuller")(
+            x, [{"attr": a} for a in ("teststat", "usedlag")]
+        )
+    )
+    assert res['attr_"usedlag"__autolag_"AIC"'] == lag_star
+    assert res['attr_"teststat"__autolag_"AIC"'] == pytest.approx(
+        t_expected, rel=1e-9
+    )
