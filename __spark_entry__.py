@@ -1123,16 +1123,12 @@ _FFT_ATTRS = ("real", "imag", "abs", "angle")
 _FFT_MAX_K = 4  # coeff 0..4; series here are 3–24 points so k>n//2 → NULL
 
 
-def q_fft_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """np.fft.rfft kernel vs explicit-DFT oracle.  Values are squeezed to
-    pmod(v, 97) (small nonnegative integers) so the rounded(6) comparison
-    has ~1e-13 cross-engine divergence against a 5e-7 quantum; DC and
-    Nyquist bins are integer-exact on both sides.  ``+ 0.0`` normalizes
-    IEEE −0.0 (DuckDB's −SUM path) to +0.0."""
-    from tsfresh_spark.extract import extract_features_tokens
-
+def _events_tokens_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokens squeezed to pmod(v, 97): small nonnegative integers keep the
+    cross-engine float divergence of DFT/convolution sums ~1e-13, far under
+    the round(6) quantum the spectral oracles compare at."""
     ev = _events_long(spark, sf_dir)
-    toks = (
+    return (
         ev.withColumn("v", F.pmod("v", F.lit(97)))
         .groupBy("user_id", "event_type")
         .agg(
@@ -1142,6 +1138,17 @@ def q_fft_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens")
         )
     )
+
+
+def q_fft_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.fft.rfft kernel vs explicit-DFT oracle.  Values are squeezed to
+    pmod(v, 97) (small nonnegative integers) so the rounded(6) comparison
+    has ~1e-13 cross-engine divergence against a 5e-7 quantum; DC and
+    Nyquist bins are integer-exact on both sides.  ``+ 0.0`` normalizes
+    IEEE −0.0 (DuckDB's −SUM path) to +0.0."""
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
     settings = {
         "fft_coefficient": [
             {"coeff": k, "attr": a}
@@ -1270,6 +1277,302 @@ SELECT user_id, event_type,
             ELSE ROUND((m4 - 4*c*m3 + 6*m2*c*c - 3*c) / (var*var), 6) + 0.0 END
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# welch density: single-segment Welch PSD (series ≤ 256 ⇒ nperseg = n, one
+# periodic-Hann segment, constant detrend, density scaling, one-sided
+# doubling) replayed in DuckDB as an explicit windowed DFT
+# (reference feature_calculators.py:1418-1455 via scipy.signal.welch)
+# ---------------------------------------------------------------------------
+
+
+def q_welch_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {"spkt_welch_density": [{"coeff": c} for c in (2, 5, 8)]},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 5) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_WELCH = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n,
+         AVG(v)   OVER (PARTITION BY user_id, event_type) AS mean_v
+  FROM base
+),
+-- detrended, periodic-Hann-windowed samples
+win AS (
+  SELECT user_id, event_type, j, n,
+         (v - mean_v) * (0.5 - 0.5*COS(2*PI()*j/n)) AS y,
+         POWER(0.5 - 0.5*COS(2*PI()*j/n), 2) AS w2
+  FROM ord
+),
+expanded AS (
+  SELECT user_id, event_type, y, j, n, UNNEST(range(0, n//2 + 1)) AS k
+  FROM win
+),
+spec AS (
+  SELECT user_id, event_type, k, ANY_VALUE(n) AS n,
+         SUM(y * COS(2*PI()*j*k/n)) AS re,
+         SUM(y * SIN(2*PI()*j*k/n)) AS im
+  FROM expanded GROUP BY user_id, event_type, k
+),
+scale AS (
+  SELECT user_id, event_type, 1.0 / SUM(w2) AS sc
+  FROM win GROUP BY user_id, event_type
+),
+psd AS (
+  SELECT s.user_id, s.event_type, s.k,
+         (s.re*s.re + s.im*s.im) * c.sc
+         * CASE WHEN s.k = 0 THEN 1.0
+                WHEN s.n % 2 = 0 AND 2*s.k = s.n THEN 1.0
+                ELSE 2.0 END AS p
+  FROM spec s JOIN scale c
+    ON s.user_id = c.user_id AND s.event_type = c.event_type
+),
+series AS (SELECT DISTINCT user_id, event_type FROM base),
+grid AS (
+  SELECT user_id, event_type, UNNEST([2, 5, 8]) AS k FROM series
+)
+SELECT g.user_id, g.event_type,
+       g.event_type || '__spkt_welch_density__coeff_' || g.k AS variable,
+       ROUND(p.p, 5) + 0.0 AS value
+FROM grid g LEFT JOIN psd p
+  ON g.user_id = p.user_id AND g.event_type = p.event_type AND g.k = p.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# cwt coefficients: the full default grid (widths (2,5,10,20) × w × coeff
+# 0..14) replayed in DuckDB as an explicit Ricker "same"-convolution
+# (reference feature_calculators.py:1370-1414 via pywt mexh)
+# ---------------------------------------------------------------------------
+
+
+def q_cwt_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {
+            "cwt_coefficients": [
+                {"widths": (2, 5, 10, 20), "coeff": c, "w": w}
+                for c in range(15)
+                for w in (2, 5, 10, 20)
+            ]
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_CWT = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+series AS (SELECT user_id, event_type, ANY_VALUE(n) AS n
+           FROM ord GROUP BY user_id, event_type),
+-- wavelet samples per (series, width): M = min(10w, n) points,
+-- tau_k = k - (M-1)/2, psi = 2/(sqrt(3a)·pi^0.25)·(1-(tau/a)^2)·exp(-tau^2/(2a^2))
+kern AS (
+  SELECT s.user_id, s.event_type, s.n, wd.a,
+         LEAST(10*wd.a, s.n) AS m, kk.k AS k,
+         2.0/(SQRT(3.0*wd.a)*POWER(PI(), 0.25))
+         * (1.0 - POWER((kk.k - (LEAST(10*wd.a, s.n)-1)/2.0)/wd.a, 2))
+         * EXP(-POWER(kk.k - (LEAST(10*wd.a, s.n)-1)/2.0, 2)/(2.0*wd.a*wd.a))
+           AS psi
+  FROM series s
+  CROSS JOIN (SELECT UNNEST([2, 5, 10, 20]) AS a) wd
+  CROSS JOIN (SELECT UNNEST(range(0, 240)) AS k) kk
+  WHERE kk.k < LEAST(10*wd.a, s.n)
+),
+-- "same" convolution: out[t] = sum_k psi[k] * x[t + (M-1)//2 - k]
+conv AS (
+  SELECT kern.user_id, kern.event_type, kern.a,
+         o.j - (kern.m - 1)//2 + kern.k AS t,
+         SUM(kern.psi * o.v) AS y
+  FROM kern JOIN ord o
+    ON o.user_id = kern.user_id AND o.event_type = kern.event_type
+  GROUP BY kern.user_id, kern.event_type, kern.a,
+           o.j - (kern.m - 1)//2 + kern.k
+),
+grid AS (
+  SELECT s.user_id, s.event_type, s.n, wd.a, cc.c
+  FROM series s
+  CROSS JOIN (SELECT UNNEST([2, 5, 10, 20]) AS a) wd
+  CROSS JOIN (SELECT UNNEST(range(0, 15)) AS c) cc
+)
+SELECT g.user_id, g.event_type,
+       g.event_type || '__cwt_coefficients__coeff_' || g.c
+         || '__w_' || g.a || '__widths_(2, 5, 10, 20)' AS variable,
+       CASE WHEN g.c < g.n THEN ROUND(v.y, 6) + 0.0 END AS value
+FROM grid g LEFT JOIN conv v
+  ON g.user_id = v.user_id AND g.event_type = v.event_type
+ AND g.a = v.a AND g.c = v.t
+"""
+
+
+# ---------------------------------------------------------------------------
+# pacf: partial autocorrelation via Levinson-Durbin on the adjusted
+# autocovariance (reference feature_calculators.py:440-495 →
+# statsmodels pacf(method="ld")).  The recursion is sequential in the lag,
+# so the oracle UNROLLS all 9 levels into generated SQL — each level adds
+# the new reflection coefficient phi_k_k and updates the carried phi row.
+# ---------------------------------------------------------------------------
+
+_PACF_MAX_LAG = 9
+_PACF_DIGITS = 6
+
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {
+            "partial_autocorrelation": [
+                {"lag": k} for k in range(_PACF_MAX_LAG + 1)
+            ]
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", _PACF_DIGITS) + F.lit(0.0)).alias("value"),
+    )
+
+
+def _pacf_oracle_sql() -> str:
+    """Generate the unrolled Levinson-Durbin SQL.  Level k computes
+    phi_k_k = (c_k − Σ_{j<k} phi_j·c_{k−j}) / sig and the updated row
+    phi_j ← phi_j − phi_k_k·phi_{k−j}; pacf[k] = phi_k_k.  The per-series
+    lag cap mirrors the kernel: max_lag = n//2 − 1 when the demanded lag 9
+    ≥ n//2, lags beyond it NaN; n//2 − 1 ≤ 0 → all NaN; a constant series
+    (c0 = 0) pins lag_0 = 1 and NaNs the rest."""
+    L = _PACF_MAX_LAG
+    acov_cols = ", ".join(
+        f"MAX(CASE WHEN k = {k} THEN c END) AS c{k}" for k in range(L + 1)
+    )
+    ctes = [
+        f"""base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type,
+         v - AVG(v) OVER (PARTITION BY user_id, event_type) AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+acov AS (
+  SELECT a.user_id, a.event_type, b.j - a.j AS k, ANY_VALUE(a.n) AS n,
+         SUM(a.s * b.s) / (ANY_VALUE(a.n) - (b.j - a.j)) AS c
+  FROM ord a JOIN ord b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND b.j - a.j BETWEEN 0 AND {L}
+  GROUP BY a.user_id, a.event_type, b.j - a.j
+),
+piv AS (
+  SELECT user_id, event_type, ANY_VALUE(n) AS n,
+         CASE WHEN {L} >= ANY_VALUE(n)//2
+              THEN ANY_VALUE(n)//2 - 1 ELSE {L} END AS maxlag,
+         {acov_cols}
+  FROM acov GROUP BY user_id, event_type
+),
+p1 AS (
+  SELECT *, c1/c0 AS phi_1, c0 - (c1/c0)*c1 AS sig
+  FROM piv
+)"""
+    ]
+    for k in range(2, L + 1):
+        prev = f"p{k - 1}"
+        dot_num = " + ".join(f"phi_{j}*c{k - j}" for j in range(1, k))
+        new_kk = f"(c{k} - ({dot_num})) / sig"
+        updates = ", ".join(
+            f"phi_{j} - pk*phi_{k - j} AS phi_{j}" for j in range(1, k)
+        )
+        ctes.append(
+            f"""p{k} AS (
+  SELECT user_id, event_type, n, maxlag,
+         {", ".join(f"c{i}" for i in range(L + 1))},
+         {updates}, pk AS phi_{k},
+         sig * (1.0 - pk*pk) AS sig
+  FROM (SELECT *, {new_kk} AS pk FROM {prev})
+)"""
+        )
+    picks = []
+    for k in range(L + 1):
+        if k == 0:
+            val = "CASE WHEN maxlag <= 0 THEN NULL ELSE 1.0 END"
+        else:
+            val = (
+                f"CASE WHEN maxlag <= 0 OR c0 = 0 OR {k} > maxlag THEN NULL "
+                f"ELSE ROUND(lvl_{k}, {_PACF_DIGITS}) + 0.0 END"
+            )
+        picks.append(
+            f"SELECT user_id, event_type, "
+            f"event_type || '__partial_autocorrelation__lag_{k}' AS variable, "
+            f"{val} AS value FROM final"
+        )
+    # lvl_k = the reflection coefficient phi_k_k captured at level k: at the
+    # last CTE phi_k has been updated by later levels, so re-expose each
+    # level's own phi_k as lvl_k via a chain of carried columns
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+final AS (
+  SELECT p{L}.user_id, p{L}.event_type, p{L}.maxlag, p{L}.c0,
+         {", ".join(f"p{k}.phi_{k} AS lvl_{k}" for k in range(1, L + 1))}
+  FROM p{L}
+  {" ".join(
+      f"JOIN p{k} ON p{k}.user_id = p{L}.user_id "
+      f"AND p{k}.event_type = p{L}.event_type"
+      for k in range(1, L)
+  )}
+)
+"""
+        + "\nUNION ALL ".join(picks)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2220,6 +2523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_time_reversal": q_lag_products,
         "energy_ratio_chunks": q_energy_ratio,
         "fft_coefficients": q_fft_plane,
+        "welch_density": q_welch_density,
+        "cwt_coefficients": q_cwt_coefficients,
+        "pacf": q_pacf,
         "matrix_profile_grid": q_matrix_profile,
         "asof_join": q_asof_join,
         "distribution_checks": q_distribution_checks,
@@ -2256,6 +2562,9 @@ def oracle_sql() -> dict[str, str]:
         "c3_time_reversal": _ORACLE_LAG_PRODUCTS,
         "energy_ratio_chunks": _ORACLE_ENERGY_RATIO,
         "fft_coefficients": _ORACLE_FFT_PLANE,
+        "welch_density": _ORACLE_WELCH,
+        "cwt_coefficients": _ORACLE_CWT,
+        "pacf": _pacf_oracle_sql(),
         "matrix_profile_grid": _ORACLE_MATRIX_PROFILE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
