@@ -1446,6 +1446,423 @@ FROM grid g LEFT JOIN conv v
 
 
 # ---------------------------------------------------------------------------
+# entropy plane A — Chebyshev-distance family: sample_entropy (m=2,
+# r=0.2·std) and the full approximate_entropy default grid (m=2,
+# r ∈ 0.1..0.9·std), replayed in DuckDB as explicit window-pair distance
+# counts (reference feature_calculators.py:1701-1805).  Distances are
+# INTEGER (|v_i−v_j| of mod-97 ints), so the d ≤ tol threshold can only
+# flip if tol lands within ~1e-16 of an integer — negligible; the final
+# −ln(A/B) / φ sums are rounded(6).
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_cheb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {
+            "sample_entropy": None,
+            "approximate_entropy": [
+                {"m": 2, "r": r} for r in (0.1, 0.3, 0.5, 0.7, 0.9)
+            ],
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_ENTROPY_CHEB = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord0 AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+-- population std, two-pass like np.std: mean first, then mean squared dev
+mean_v AS (
+  SELECT user_id, event_type, AVG(v) AS mu FROM ord0
+  GROUP BY user_id, event_type
+),
+sdv AS (
+  SELECT o.user_id, o.event_type, ANY_VALUE(o.n) AS n,
+         SQRT(AVG(POWER(o.v - m.mu, 2))) AS sd
+  FROM ord0 o JOIN mean_v m
+    ON o.user_id = m.user_id AND o.event_type = m.event_type
+  GROUP BY o.user_id, o.event_type
+),
+-- window head values: window i = (v0[i], v1[i](, v2[i]))
+w AS (
+  SELECT user_id, event_type, j, n, v AS v0,
+         LEAD(v, 1) OVER sw AS v1,
+         LEAD(v, 2) OVER sw AS v2
+  FROM ord0
+  WINDOW sw AS (PARTITION BY user_id, event_type ORDER BY j)
+),
+-- all ORDERED pairs of width-2 windows (incl. self) with their width-2 and
+-- (where defined) width-3 Chebyshev distances
+pairs AS (
+  SELECT a.user_id, a.event_type, a.j AS i, b.j AS jj,
+         GREATEST(ABS(a.v0-b.v0), ABS(a.v1-b.v1)) AS d2,
+         CASE WHEN a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+              THEN GREATEST(ABS(a.v0-b.v0), ABS(a.v1-b.v1), ABS(a.v2-b.v2))
+         END AS d3
+  FROM w a JOIN w b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+  WHERE a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+),
+-- SampEn: B/A = similar ordered pairs (self excluded), tol = 0.2·std
+samp AS (
+  SELECT p.user_id, p.event_type,
+         COUNT(CASE WHEN p.i <> p.jj AND p.d2 <= 0.2*s.sd THEN 1 END) AS B,
+         COUNT(CASE WHEN p.i <> p.jj AND p.d3 <= 0.2*s.sd THEN 1 END) AS A
+  FROM pairs p JOIN sdv s
+    ON p.user_id = s.user_id AND p.event_type = s.event_type
+  GROUP BY p.user_id, p.event_type
+),
+-- ApEn: per-window neighbour counts (self INCLUDED) at each r·std
+rg AS (SELECT UNNEST([0.1, 0.3, 0.5, 0.7, 0.9]) AS r),
+c2 AS (
+  SELECT p.user_id, p.event_type, rg.r, p.i,
+         COUNT(CASE WHEN p.d2 <= rg.r*s.sd THEN 1 END) AS c
+  FROM pairs p
+  JOIN sdv s ON p.user_id = s.user_id AND p.event_type = s.event_type
+  CROSS JOIN rg
+  GROUP BY p.user_id, p.event_type, rg.r, p.i
+),
+c3 AS (
+  SELECT p.user_id, p.event_type, rg.r, p.i,
+         COUNT(CASE WHEN p.d3 <= rg.r*s.sd THEN 1 END) AS c
+  FROM pairs p
+  JOIN sdv s ON p.user_id = s.user_id AND p.event_type = s.event_type
+  CROSS JOIN rg
+  WHERE p.d3 IS NOT NULL
+  GROUP BY p.user_id, p.event_type, rg.r, p.i
+),
+phi2 AS (
+  SELECT c2.user_id, c2.event_type, c2.r,
+         SUM(LN(CAST(c2.c AS DOUBLE)/(s.n-1))) / ANY_VALUE(s.n-1) AS phi2
+  FROM c2 JOIN sdv s
+    ON c2.user_id = s.user_id AND c2.event_type = s.event_type
+  GROUP BY c2.user_id, c2.event_type, c2.r
+),
+phi3 AS (
+  SELECT c3.user_id, c3.event_type, c3.r,
+         SUM(LN(CAST(c3.c AS DOUBLE)/(s.n-2))) / ANY_VALUE(s.n-2) AS phi3
+  FROM c3 JOIN sdv s
+    ON c3.user_id = s.user_id AND c3.event_type = s.event_type
+  GROUP BY c3.user_id, c3.event_type, c3.r
+),
+phi AS (
+  SELECT p2.user_id, p2.event_type, p2.r, p2.phi2, p3.phi3
+  FROM phi2 p2 LEFT JOIN phi3 p3
+    ON p2.user_id = p3.user_id AND p2.event_type = p3.event_type
+   AND p2.r = p3.r
+),
+series AS (SELECT user_id, event_type, ANY_VALUE(n) AS n
+           FROM ord0 GROUP BY user_id, event_type)
+SELECT s.user_id, s.event_type,
+       s.event_type || '__sample_entropy' AS variable,
+       CASE WHEN sp.B IS NULL OR sp.B = 0 THEN NULL
+            WHEN sp.A = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE ROUND(-LN(CAST(sp.A AS DOUBLE)/sp.B), 6) + 0.0 END AS value
+FROM series s LEFT JOIN samp sp
+  ON s.user_id = sp.user_id AND s.event_type = sp.event_type
+UNION ALL
+SELECT s.user_id, s.event_type,
+       s.event_type || '__approximate_entropy__m_2__r_' || rg.r,
+       CASE WHEN s.n <= 3 THEN 0.0
+            ELSE ROUND(ABS(p.phi2 - p.phi3), 6) + 0.0 END
+FROM series s
+CROSS JOIN rg
+LEFT JOIN phi p
+  ON p.user_id = s.user_id AND p.event_type = s.event_type AND p.r = rg.r
+"""
+
+
+# ---------------------------------------------------------------------------
+# entropy plane B — symbolic family: binned_entropy(10), the full
+# permutation_entropy grid (tau=1, dimension 3..7) and the full
+# fourier_entropy grid (bins 2/3/5/10/100)
+# (reference feature_calculators.py:1666-1694, 1809-1821, 1866-1915).
+# Ordinal ranks mirror numpy's double-argsort: stable for ties at d ≤ 16
+# (insertion sort), i.e. rank = #{q: x_q < x_p or (x_q = x_p and q < p)}.
+# Histogram bins on INTEGER data reduce to exact integer arithmetic
+# (floor((v−mn)·b/(mx−mn)) clamped); the normalized-PSD histogram shares
+# the welch DFT.
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    # position-salt the values (v·100 + index): permutation_entropy's
+    # ordinal ranks come from np.argsort, whose tie order is
+    # implementation-defined (measured: NOT insertion-stable even at n=4 —
+    # descending runs reverse their ties).  The kernel faithfully carries
+    # the reference's exact tie behavior, but no SQL mirror can — so the
+    # oracle compares on a tie-free series, identical on both sides.
+    toks = _events_tokens_mod97(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.transform(
+            "tokens", lambda t, i: t * F.lit(100) + i
+        ).alias("tokens"),
+    )
+    feats = extract_features_tokens(
+        toks,
+        {
+            "binned_entropy": [{"max_bins": 10}],
+            "permutation_entropy": [
+                {"tau": 1, "dimension": d} for d in (3, 4, 5, 6, 7)
+            ],
+            "fourier_entropy": [{"bins": b} for b in (2, 3, 5, 10, 100)],
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_ENTROPY_SYMBOLIC = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+-- position-salted (tie-free) series: v·100 + index, mirroring the Spark side
+ord AS (
+  SELECT user_id, event_type,
+         v * 100 + (ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+series AS (SELECT user_id, event_type, ANY_VALUE(n) AS n
+           FROM ord GROUP BY user_id, event_type),
+
+-- ======================= binned_entropy (max_bins = 10) ====================
+rng AS (
+  SELECT user_id, event_type, MIN(v) AS mn, MAX(v) AS mx, ANY_VALUE(n) AS n
+  FROM ord GROUP BY user_id, event_type
+),
+bcount AS (
+  SELECT o.user_id, o.event_type,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE LEAST(((o.v - r.mn) * 10) // (r.mx - r.mn), 9) END AS b,
+         COUNT(*) AS c, ANY_VALUE(r.n) AS n
+  FROM ord o JOIN rng r
+    ON o.user_id = r.user_id AND o.event_type = r.event_type
+  GROUP BY o.user_id, o.event_type, 3
+),
+binned AS (
+  SELECT user_id, event_type,
+         -SUM((CAST(c AS DOUBLE)/n) * LN(CAST(c AS DOUBLE)/n)) AS h
+  FROM bcount GROUP BY user_id, event_type
+),
+
+-- ============ permutation_entropy (tau = 1, dimension 3..7) ================
+dims AS (SELECT UNNEST([3, 4, 5, 6, 7]) AS d),
+-- window elements: window w of dimension d holds positions w..w+d-1
+elem AS (
+  SELECT o.user_id, o.event_type, dims.d, o.j - p.p AS w, p.p, o.v, o.n
+  FROM ord o
+  CROSS JOIN dims
+  JOIN (SELECT UNNEST(range(0, 7)) AS p) p ON p.p < dims.d
+  WHERE o.j - p.p >= 0 AND o.j - p.p + dims.d <= o.n
+),
+-- stable argsort rank of element p within its window
+ranked AS (
+  SELECT a.user_id, a.event_type, a.d, a.w, a.p,
+         COUNT(CASE WHEN b.v < a.v OR (b.v = a.v AND b.p < a.p) THEN 1 END) AS rnk
+  FROM elem a JOIN elem b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND a.d = b.d AND a.w = b.w
+  GROUP BY a.user_id, a.event_type, a.d, a.w, a.p
+),
+codes AS (
+  SELECT user_id, event_type, d, w,
+         SUM(rnk * CAST(POWER(d, p) AS BIGINT)) AS code
+  FROM ranked GROUP BY user_id, event_type, d, w
+),
+ccount AS (
+  SELECT user_id, event_type, d, code, COUNT(*) AS c
+  FROM codes GROUP BY user_id, event_type, d, code
+),
+ktot AS (
+  SELECT user_id, event_type, d, SUM(c) AS k FROM ccount
+  GROUP BY user_id, event_type, d
+),
+perm AS (
+  SELECT c.user_id, c.event_type, c.d,
+         -SUM((CAST(c.c AS DOUBLE)/k.k) * LN(CAST(c.c AS DOUBLE)/k.k)) AS h
+  FROM ccount c JOIN ktot k
+    ON c.user_id = k.user_id AND c.event_type = k.event_type AND c.d = k.d
+  GROUP BY c.user_id, c.event_type, c.d
+),
+
+-- ============== fourier_entropy (bins 2/3/5/10/100) ========================
+-- single-segment Welch PSD (same conventions as the welch_density oracle)
+wmean AS (
+  SELECT user_id, event_type, AVG(v) AS mu FROM ord
+  GROUP BY user_id, event_type
+),
+win AS (
+  SELECT o.user_id, o.event_type, o.j, o.n,
+         (o.v - m.mu) * (0.5 - 0.5*COS(2*PI()*o.j/o.n)) AS y,
+         POWER(0.5 - 0.5*COS(2*PI()*o.j/o.n), 2) AS w2
+  FROM ord o JOIN wmean m
+    ON o.user_id = m.user_id AND o.event_type = m.event_type
+),
+fexp AS (
+  SELECT user_id, event_type, y, j, n, UNNEST(range(0, n//2 + 1)) AS k
+  FROM win
+),
+fspec AS (
+  SELECT user_id, event_type, k, ANY_VALUE(n) AS n,
+         SUM(y * COS(2*PI()*j*k/n)) AS re,
+         SUM(y * SIN(2*PI()*j*k/n)) AS im
+  FROM fexp GROUP BY user_id, event_type, k
+),
+fscale AS (
+  SELECT user_id, event_type, 1.0 / SUM(w2) AS sc
+  FROM win GROUP BY user_id, event_type
+),
+psd AS (
+  SELECT s.user_id, s.event_type, s.k,
+         (s.re*s.re + s.im*s.im) * c.sc
+         * CASE WHEN s.k = 0 THEN 1.0
+                WHEN s.n % 2 = 0 AND 2*s.k = s.n THEN 1.0
+                ELSE 2.0 END AS p
+  FROM fspec s JOIN fscale c
+    ON s.user_id = c.user_id AND s.event_type = c.event_type
+),
+norm AS (
+  SELECT p.user_id, p.event_type, p.p / mx.m AS q
+  FROM psd p JOIN (
+    SELECT user_id, event_type, MAX(p) AS m FROM psd
+    GROUP BY user_id, event_type
+  ) mx ON p.user_id = mx.user_id AND p.event_type = mx.event_type
+),
+frng AS (
+  SELECT user_id, event_type, MIN(q) AS qmn, MAX(q) AS qmx, COUNT(*) AS nf
+  FROM norm GROUP BY user_id, event_type
+),
+fbins AS (SELECT UNNEST([2, 3, 5, 10, 100]) AS b),
+fbcount AS (
+  SELECT n.user_id, n.event_type, fb.b,
+         CASE WHEN r.qmx = r.qmn THEN 0
+              ELSE LEAST(CAST(FLOOR((n.q - r.qmn) * fb.b / (r.qmx - r.qmn)) AS BIGINT),
+                         fb.b - 1) END AS bin,
+         COUNT(*) AS c, ANY_VALUE(r.nf) AS nf
+  FROM norm n
+  JOIN frng r ON n.user_id = r.user_id AND n.event_type = r.event_type
+  CROSS JOIN fbins fb
+  GROUP BY n.user_id, n.event_type, fb.b, 4
+),
+fourier AS (
+  SELECT user_id, event_type, b,
+         -SUM((CAST(c AS DOUBLE)/nf) * LN(CAST(c AS DOUBLE)/nf)) AS h
+  FROM fbcount GROUP BY user_id, event_type, b
+)
+
+SELECT s.user_id, s.event_type,
+       s.event_type || '__binned_entropy__max_bins_10' AS variable,
+       ROUND(b.h, 6) + 0.0 AS value
+FROM series s LEFT JOIN binned b
+  ON s.user_id = b.user_id AND s.event_type = b.event_type
+UNION ALL
+SELECT s.user_id, s.event_type,
+       s.event_type || '__permutation_entropy__dimension_' || dims.d || '__tau_1',
+       CASE WHEN s.n >= dims.d THEN ROUND(p.h, 6) + 0.0 END
+FROM series s
+CROSS JOIN dims
+LEFT JOIN perm p
+  ON p.user_id = s.user_id AND p.event_type = s.event_type AND p.d = dims.d
+UNION ALL
+SELECT s.user_id, s.event_type,
+       s.event_type || '__fourier_entropy__bins_' || fb.b,
+       ROUND(f.h, 6) + 0.0
+FROM series s
+CROSS JOIN fbins fb
+LEFT JOIN fourier f
+  ON f.user_id = s.user_id AND f.event_type = s.event_type AND f.b = fb.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ar_coefficient at k=1: the AutoReg OLS path (intercept + lag-1
+# coefficient) has a textbook closed form — regress x_t on [1, x_{t−1}]
+# (reference feature_calculators.py:1459-1507).  The default k=10 grid is
+# a dense 11×11 solve (not SQL-expressible); k=1 gives the same code path
+# external verification.
+# ---------------------------------------------------------------------------
+
+
+def q_ar_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {"ar_coefficient": [{"coeff": c, "k": 1} for c in (0, 1)]},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_AR_K1 = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         LAG(v) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS vl
+  FROM base
+),
+fit AS (
+  SELECT user_id, event_type,
+         (AVG(v*vl) - AVG(v)*AVG(vl)) / (AVG(vl*vl) - AVG(vl)*AVG(vl)) AS phi,
+         AVG(v) AS my, AVG(vl) AS mx
+  FROM ord WHERE vl IS NOT NULL
+  GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+       event_type || '__ar_coefficient__coeff_0__k_1' AS variable,
+       ROUND(my - phi*mx, 6) + 0.0 AS value FROM fit
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__ar_coefficient__coeff_1__k_1',
+       ROUND(phi, 6) + 0.0 FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
 # pacf: partial autocorrelation via Levinson-Durbin on the adjusted
 # autocovariance (reference feature_calculators.py:440-495 →
 # statsmodels pacf(method="ld")).  The recursion is sequential in the lag,
@@ -2526,6 +2943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_density": q_welch_density,
         "cwt_coefficients": q_cwt_coefficients,
         "pacf": q_pacf,
+        "entropy_chebyshev": q_entropy_cheb,
+        "entropy_symbolic": q_entropy_symbolic,
+        "ar_coefficient_k1": q_ar_k1,
         "matrix_profile_grid": q_matrix_profile,
         "asof_join": q_asof_join,
         "distribution_checks": q_distribution_checks,
@@ -2565,6 +2985,9 @@ def oracle_sql() -> dict[str, str]:
         "welch_density": _ORACLE_WELCH,
         "cwt_coefficients": _ORACLE_CWT,
         "pacf": _pacf_oracle_sql(),
+        "entropy_chebyshev": _ORACLE_ENTROPY_CHEB,
+        "entropy_symbolic": _ORACLE_ENTROPY_SYMBOLIC,
+        "ar_coefficient_k1": _ORACLE_AR_K1,
         "matrix_profile_grid": _ORACLE_MATRIX_PROFILE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
