@@ -137,8 +137,17 @@ def main() -> None:
     # interleave the levels (8,32,8,32) and keep each level's best session:
     # a single session per level lets slow host drift (frequency/thermal/
     # noisy neighbors) bias the ratio in either direction; per-level best
-    # over interleaved sessions treats both levels symmetrically
+    # over interleaved sessions treats both levels symmetrically.  The
+    # hardware ceiling is calibrated BEFORE and AFTER the Spark sessions
+    # (measured: a calibration run only at the end sees the heated steady
+    # state and misses the light-load turbo regime an early 8-core session
+    # enjoys — round 4 recorded Spark-8 per-core 13% ABOVE the end-of-run
+    # Spark-free calibration, collapsing the raw ratio to 0.65 while the
+    # stale ceiling claimed 0.93).
+    ceiling_pre = calibrate_hardware_ceiling()
+    print(json.dumps({"ceiling_pre": ceiling_pre}))
     per_level: dict[int, dict] = {}
+    sessions: list[dict] = []
     for cpus in (8, 32, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus)],
@@ -149,6 +158,7 @@ def main() -> None:
         line = proc.stdout.strip().splitlines()[-1]
         r = json.loads(line)
         print(line)
+        sessions.append(r)
         best = per_level.get(cpus)
         if best is not None and best["checksum"] != r["checksum"]:
             raise AssertionError("checksum drift across sessions")
@@ -157,7 +167,35 @@ def main() -> None:
     r8, r32 = per_level[8], per_level[32]
     results = [r8, r32]
     efficiency = r32["tokens_per_sec"] / (4 * r8["tokens_per_sec"])
-    ceiling = calibrate_hardware_ceiling()
+    ceiling_post = calibrate_hardware_ceiling()
+    # time-matched pass ratios: session i pairs (8_i, 32_i) ran adjacently,
+    # so each ratio compares the two levels in (approximately) one host
+    # state — the spread of these is the honest same-state band
+    pairwise = [
+        round(
+            sessions[i + 1]["tokens_per_sec"]
+            / (4 * sessions[i]["tokens_per_sec"]),
+            3,
+        )
+        for i in (0, 2)
+    ]
+    ceiling = {
+        "series_per_sec_per_core_8busy": ceiling_post[
+            "series_per_sec_per_core_8busy"
+        ],
+        "series_per_sec_per_core_32busy": ceiling_post[
+            "series_per_sec_per_core_32busy"
+        ],
+        # conservative: of the two bracketing calibrations, charge the
+        # engine against the HIGHER ceiling (less excuse)
+        "hardware_ceiling_8_to_32": max(
+            ceiling_pre["hardware_ceiling_8_to_32"],
+            ceiling_post["hardware_ceiling_8_to_32"],
+        ),
+        "hardware_ceiling_pre": ceiling_pre["hardware_ceiling_8_to_32"],
+        "hardware_ceiling_post": ceiling_post["hardware_ceiling_8_to_32"],
+        "pairwise_efficiency": pairwise,
+    }
     summary = {
         "metric": "rollup throughput scaling, local[8] vs local[32]",
         "n_docs": N_DOCS,
