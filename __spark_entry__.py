@@ -1446,6 +1446,585 @@ FROM grid g LEFT JOIN conv v
 
 
 # ---------------------------------------------------------------------------
+# stats sweep — the remaining per-series scalar calculators in one query:
+# variance/std/variation_coefficient/skew/kurtosis (two-pass moment
+# mirrors), sigma-ratio and range guards, duplicate flags, mean-relative
+# counts, crossings, cid_ce, single-lag autocorrelation, Benford
+# correlation, index-mass quantiles — raw integral values, two-pass
+# moments in SQL so no E[x²]−E[x]² cancellation (reference
+# feature_calculators.py: cites in each kernel docstring).
+# ---------------------------------------------------------------------------
+
+_STATS_SWEEP_SETTINGS = {
+    "variance": None,
+    "standard_deviation": None,
+    "variation_coefficient": None,
+    "skewness": None,
+    "kurtosis": None,
+    "variance_larger_than_standard_deviation": None,
+    "has_duplicate": None,
+    "has_duplicate_max": None,
+    "has_duplicate_min": None,
+    "count_above_mean": None,
+    "count_below_mean": None,
+    "ratio_value_number_to_time_series_length": None,
+    "benford_correlation": None,
+    "ratio_beyond_r_sigma": [{"r": 0.5}, {"r": 2}],
+    "large_standard_deviation": [{"r": 0.25}],
+    "count_above": [{"t": 0}],
+    "count_below": [{"t": 0}],
+    "number_crossing_m": [{"m": 0}],
+    "cid_ce": [{"normalize": True}, {"normalize": False}],
+    "autocorrelation": [{"lag": 1}, {"lag": 3}],
+    "index_mass_quantile": [{"q": q} for q in (0.2, 0.6, 0.9)],
+}
+
+
+def q_stats_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        _STATS_SWEEP_SETTINGS,
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trend sweep — linear_trend / agg_linear_trend (chunked downsample + line
+# fit) / change_quantiles corridors / agg_autocorrelation, on pmod-97
+# series restricted to n ≥ 7 (keeps every chunk fit and adjusted-ACF lag
+# well-defined on both sides).
+# ---------------------------------------------------------------------------
+
+_TREND_ATTRS = ("slope", "intercept", "rvalue", "stderr")
+_CQ_COMBOS = [
+    (0.2, 0.8, False, "mean"),
+    (0.2, 0.8, True, "mean"),
+    (0.2, 0.8, True, "var"),
+    (0.0, 0.6, True, "mean"),
+]
+
+
+def q_trend_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir).filter(
+        F.size("tokens") >= 7
+    )
+    settings = {
+        "linear_trend": [{"attr": a} for a in _TREND_ATTRS],
+        "agg_linear_trend": [
+            {"attr": a, "chunk_len": 5, "f_agg": f}
+            for a in _TREND_ATTRS
+            for f in ("mean", "max")
+        ],
+        "change_quantiles": [
+            {"ql": ql, "qh": qh, "isabs": isabs, "f_agg": f}
+            for ql, qh, isabs, f in _CQ_COMBOS
+        ],
+        "agg_autocorrelation": [
+            {"f_agg": f, "maxlag": 5} for f in ("mean", "median", "var")
+        ],
+    }
+    feats = extract_features_tokens(
+        toks, settings, id_col="user_id", kind_col="event_type"
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_ORACLE_STATS_SWEEP = f"""
+WITH base AS ({_BASE_SQL}),
+ordx AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER po - 1 AS j,
+         LAG(v) OVER po AS pv,
+         LEAD(v, 1) OVER po AS l1,
+         LEAD(v, 3) OVER po AS l3,
+         SUM(ABS(v)) OVER (po ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_abs
+  FROM base
+  WINDOW po AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+m1 AS (
+  SELECT user_id, event_type, COUNT(*) AS n, AVG(v) AS m,
+         MIN(v) AS mn, MAX(v) AS mx,
+         COUNT(DISTINCT v) AS ndist,
+         SUM(ABS(v)) AS abs_sum,
+         SUM(CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS c_ge0,
+         SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS c_le0
+  FROM base GROUP BY user_id, event_type
+),
+-- two-pass centered moments (numpy's float path, no E[x²]−E[x]² cancellation)
+dev AS (
+  SELECT o.user_id, o.event_type, ANY_VALUE(m1.n) AS n, ANY_VALUE(m1.m) AS m,
+         ANY_VALUE(m1.mn) AS mn, ANY_VALUE(m1.mx) AS mx,
+         ANY_VALUE(m1.ndist) AS ndist,
+         ANY_VALUE(m1.c_ge0) AS c_ge0, ANY_VALUE(m1.c_le0) AS c_le0,
+         SUM(POWER(o.v - m1.m, 2)) AS ss2,
+         SUM(POWER(o.v - m1.m, 3)) AS ss3,
+         SUM(POWER(o.v - m1.m, 4)) AS ss4,
+         SUM(CASE WHEN o.v > m1.m THEN 1 ELSE 0 END) AS c_gt_mean,
+         SUM(CASE WHEN o.v < m1.m THEN 1 ELSE 0 END) AS c_lt_mean,
+         SUM(CASE WHEN o.v = m1.mx THEN 1 ELSE 0 END) AS c_at_max,
+         SUM(CASE WHEN o.v = m1.mn THEN 1 ELSE 0 END) AS c_at_min,
+         SUM(CASE WHEN o.pv IS NOT NULL AND (o.pv > 0) <> (o.v > 0)
+                  THEN 1 ELSE 0 END) AS crossings,
+         SUM(CASE WHEN o.pv IS NOT NULL
+                  THEN POWER(o.v - o.pv, 2) ELSE 0 END) AS sum_d2,
+         SUM(CASE WHEN o.l1 IS NOT NULL
+                  THEN (o.v - m1.m) * (o.l1 - m1.m) END) AS ac1,
+         SUM(CASE WHEN o.l3 IS NOT NULL
+                  THEN (o.v - m1.m) * (o.l3 - m1.m) END) AS ac3
+  FROM ordx o JOIN m1
+    ON o.user_id = m1.user_id AND o.event_type = m1.event_type
+  GROUP BY o.user_id, o.event_type
+),
+st AS (
+  SELECT *, ss2 / n AS var, SQRT(ss2 / n) AS sd FROM dev
+),
+sigma AS (
+  SELECT o.user_id, o.event_type,
+         AVG(CASE WHEN ABS(o.v - s.m) > 0.5 * s.sd THEN 1.0 ELSE 0.0 END) AS rb05,
+         AVG(CASE WHEN ABS(o.v - s.m) > 2.0 * s.sd THEN 1.0 ELSE 0.0 END) AS rb2
+  FROM ordx o JOIN st s
+    ON o.user_id = s.user_id AND o.event_type = s.event_type
+  GROUP BY o.user_id, o.event_type
+),
+imq AS (
+  SELECT o.user_id, o.event_type,
+         MIN(CASE WHEN o.cum_abs * 1.0 / m1.abs_sum >= 0.2 THEN o.j + 1 END) * 1.0
+           / ANY_VALUE(m1.n) AS q02,
+         MIN(CASE WHEN o.cum_abs * 1.0 / m1.abs_sum >= 0.6 THEN o.j + 1 END) * 1.0
+           / ANY_VALUE(m1.n) AS q06,
+         MIN(CASE WHEN o.cum_abs * 1.0 / m1.abs_sum >= 0.9 THEN o.j + 1 END) * 1.0
+           / ANY_VALUE(m1.n) AS q09
+  FROM ordx o JOIN m1
+    ON o.user_id = m1.user_id AND o.event_type = m1.event_type
+  WHERE m1.abs_sum > 0
+  GROUP BY o.user_id, o.event_type
+),
+-- Benford: leading digit of |v| via the same float log10/floor path
+digits AS (
+  SELECT user_id, event_type,
+         CASE WHEN ABS(v) = 0 THEN 0
+              ELSE LEAST(GREATEST(
+                CAST(FLOOR(ABS(v) / POWER(10, FLOOR(LOG10(ABS(v))))) AS BIGINT),
+                1), 9) END AS d
+  FROM base
+),
+dgrid AS (
+  SELECT m1.user_id, m1.event_type, g.d, m1.n,
+         LOG10(1.0 + 1.0/g.d) AS p
+  FROM m1 CROSS JOIN (SELECT UNNEST(range(1, 10)) AS d) g
+),
+dcount AS (
+  SELECT user_id, event_type, d, COUNT(*) AS c FROM digits
+  WHERE d > 0 GROUP BY user_id, event_type, d
+),
+benford AS (
+  SELECT g.user_id, g.event_type,
+         CORR(g.p, COALESCE(c.c, 0) * 1.0 / g.n) AS bc
+  FROM dgrid g LEFT JOIN dcount c
+    ON g.user_id = c.user_id AND g.event_type = c.event_type AND g.d = c.d
+  GROUP BY g.user_id, g.event_type
+),
+f AS (
+  SELECT st.*, sg.rb05, sg.rb2, i.q02, i.q06, i.q09, b.bc
+  FROM st
+  LEFT JOIN sigma sg ON st.user_id = sg.user_id AND st.event_type = sg.event_type
+  LEFT JOIN imq i ON st.user_id = i.user_id AND st.event_type = i.event_type
+  LEFT JOIN benford b ON st.user_id = b.user_id AND st.event_type = b.event_type
+)
+SELECT user_id, event_type, event_type || '__variance' AS variable,
+       ROUND(var, 6) + 0.0 AS value FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__standard_deviation',
+       ROUND(sd, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__variation_coefficient',
+       CASE WHEN m = 0 THEN NULL ELSE ROUND(sd / m, 6) + 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__skewness',
+       CASE WHEN n < 3 THEN NULL WHEN ss2 = 0 THEN 0.0
+            ELSE ROUND(n * SQRT(n - 1.0) / (n - 2) * ss3 / POWER(ss2, 1.5), 6) + 0.0
+       END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__kurtosis',
+       CASE WHEN n < 4 THEN NULL
+            WHEN (n-2.0)*(n-3.0)*ss2*ss2 = 0 THEN 0.0
+            ELSE ROUND(n*(n+1.0)*(n-1.0)*ss4 / ((n-2.0)*(n-3.0)*ss2*ss2)
+                       - 3.0*(n-1.0)*(n-1.0)/((n-2.0)*(n-3.0)), 6) + 0.0
+       END FROM f
+UNION ALL SELECT user_id, event_type,
+       event_type || '__variance_larger_than_standard_deviation',
+       CASE WHEN var > SQRT(var) THEN 1.0 ELSE 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__has_duplicate',
+       CASE WHEN ndist <> n THEN 1.0 ELSE 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__has_duplicate_max',
+       CASE WHEN c_at_max >= 2 THEN 1.0 ELSE 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__has_duplicate_min',
+       CASE WHEN c_at_min >= 2 THEN 1.0 ELSE 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__count_above_mean',
+       CAST(c_gt_mean AS DOUBLE) FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__count_below_mean',
+       CAST(c_lt_mean AS DOUBLE) FROM f
+UNION ALL SELECT user_id, event_type,
+       event_type || '__ratio_value_number_to_time_series_length',
+       ROUND(ndist * 1.0 / n, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__benford_correlation',
+       ROUND(bc, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__ratio_beyond_r_sigma__r_0.5',
+       ROUND(rb05, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__ratio_beyond_r_sigma__r_2',
+       ROUND(rb2, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type,
+       event_type || '__large_standard_deviation__r_0.25',
+       CASE WHEN sd > 0.25 * (mx - mn) THEN 1.0 ELSE 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__count_above__t_0',
+       ROUND(c_ge0 * 1.0 / n, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__count_below__t_0',
+       ROUND(c_le0 * 1.0 / n, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__number_crossing_m__m_0',
+       CAST(crossings AS DOUBLE) FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__cid_ce__normalize_False',
+       ROUND(SQRT(sum_d2), 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__cid_ce__normalize_True',
+       CASE WHEN sd = 0 THEN 0.0
+            ELSE ROUND(SQRT(sum_d2) / sd, 6) + 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__autocorrelation__lag_1',
+       CASE WHEN n <= 1 OR var <= 1e-8 THEN NULL
+            ELSE ROUND(ac1 / ((n - 1) * var), 6) + 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__autocorrelation__lag_3',
+       CASE WHEN n <= 3 OR var <= 1e-8 THEN NULL
+            ELSE ROUND(ac3 / ((n - 3) * var), 6) + 0.0 END FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__index_mass_quantile__q_0.2',
+       ROUND(q02, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__index_mass_quantile__q_0.6',
+       ROUND(q06, 6) + 0.0 FROM f
+UNION ALL SELECT user_id, event_type, event_type || '__index_mass_quantile__q_0.9',
+       ROUND(q09, 6) + 0.0 FROM f
+"""
+
+
+_ORACLE_TREND_SWEEP = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord0 AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER po - 1 AS j,
+         LAG(v) OVER po AS pv,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+  WINDOW po AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+ord AS (SELECT * FROM ord0 WHERE n >= 7),
+series AS (SELECT user_id, event_type, ANY_VALUE(n) AS n
+           FROM ord GROUP BY user_id, event_type),
+
+-- ==================== linear_trend over t = 0..n−1 ========================
+lt_m AS (
+  SELECT user_id, event_type, AVG(j) AS jm, AVG(v) AS ym, ANY_VALUE(n) AS n
+  FROM ord GROUP BY user_id, event_type
+),
+lt AS (
+  SELECT o.user_id, o.event_type, ANY_VALUE(m.n) AS n,
+         ANY_VALUE(m.jm) AS jm, ANY_VALUE(m.ym) AS ym,
+         AVG(POWER(o.j - m.jm, 2)) AS ssxm,
+         AVG(POWER(o.v - m.ym, 2)) AS ssym,
+         AVG((o.j - m.jm) * (o.v - m.ym)) AS ssxym
+  FROM ord o JOIN lt_m m
+    ON o.user_id = m.user_id AND o.event_type = m.event_type
+  GROUP BY o.user_id, o.event_type
+),
+lt_fit AS (
+  SELECT *, ssxym / ssxm AS slope, ym - (ssxym / ssxm) * jm AS intercept,
+         CASE WHEN ssxm = 0 OR ssym = 0 THEN 0.0
+              ELSE GREATEST(-1.0, LEAST(1.0, ssxym / SQRT(ssxm * ssym))) END AS r
+  FROM lt
+),
+
+-- ============ agg_linear_trend: chunk (len 5) downsample then fit =========
+chunks AS (
+  SELECT user_id, event_type, j // 5 AS c,
+         AVG(v) AS agg_mean, MAX(v) * 1.0 AS agg_max
+  FROM ord GROUP BY user_id, event_type, j // 5
+),
+alt_m AS (
+  SELECT user_id, event_type, COUNT(*) AS k, AVG(c) AS cm,
+         AVG(agg_mean) AS ym_mean, AVG(agg_max) AS ym_max
+  FROM chunks GROUP BY user_id, event_type
+),
+alt AS (
+  SELECT ch.user_id, ch.event_type, ANY_VALUE(m.k) AS k,
+         ANY_VALUE(m.cm) AS cm,
+         ANY_VALUE(m.ym_mean) AS ym_mean, ANY_VALUE(m.ym_max) AS ym_max,
+         AVG(POWER(ch.c - m.cm, 2)) AS ssxm,
+         AVG(POWER(ch.agg_mean - m.ym_mean, 2)) AS ssym_mean,
+         AVG((ch.c - m.cm) * (ch.agg_mean - m.ym_mean)) AS ssxym_mean,
+         AVG(POWER(ch.agg_max - m.ym_max, 2)) AS ssym_max,
+         AVG((ch.c - m.cm) * (ch.agg_max - m.ym_max)) AS ssxym_max
+  FROM chunks ch JOIN alt_m m
+    ON ch.user_id = m.user_id AND ch.event_type = m.event_type
+  GROUP BY ch.user_id, ch.event_type
+),
+alt_fit AS (
+  SELECT user_id, event_type, k, cm,
+         ssxym_mean / ssxm AS slope_mean,
+         ym_mean - (ssxym_mean / ssxm) * cm AS intercept_mean,
+         CASE WHEN ssxm = 0 OR ssym_mean = 0 THEN 0.0
+              ELSE GREATEST(-1.0, LEAST(1.0,
+                   ssxym_mean / SQRT(ssxm * ssym_mean))) END AS r_mean,
+         ssym_mean, ssxm,
+         ssxym_max / ssxm AS slope_max,
+         ym_max - (ssxym_max / ssxm) * cm AS intercept_max,
+         CASE WHEN ssxm = 0 OR ssym_max = 0 THEN 0.0
+              ELSE GREATEST(-1.0, LEAST(1.0,
+                   ssxym_max / SQRT(ssxm * ssym_max))) END AS r_max,
+         ssym_max
+  FROM alt
+),
+
+-- =================== change_quantiles corridors ===========================
+qv AS (
+  SELECT user_id, event_type,
+         QUANTILE_CONT(v, 0.0) AS q00, QUANTILE_CONT(v, 0.2) AS q02,
+         QUANTILE_CONT(v, 0.6) AS q06, QUANTILE_CONT(v, 0.8) AS q08
+  FROM ord GROUP BY user_id, event_type
+),
+combos AS (
+  SELECT * FROM (VALUES
+    (1, 0.2, 0.8, FALSE, 'mean'),
+    (2, 0.2, 0.8, TRUE,  'mean'),
+    (3, 0.2, 0.8, TRUE,  'var'),
+    (4, 0.0, 0.6, TRUE,  'mean')
+  ) AS t(cid, ql, qh, isabs, f_agg)
+),
+cq_sel AS (
+  SELECT o.user_id, o.event_type, cb.cid,
+         CASE WHEN cb.isabs THEN ABS(o.v - o.pv) * 1.0
+              ELSE (o.v - o.pv) * 1.0 END AS d
+  FROM ord o
+  JOIN qv ON o.user_id = qv.user_id AND o.event_type = qv.event_type
+  CROSS JOIN combos cb
+  WHERE o.pv IS NOT NULL
+    AND (CASE cb.cid WHEN 4 THEN qv.q00 ELSE qv.q02 END)
+        <> (CASE cb.cid WHEN 4 THEN qv.q06 ELSE qv.q08 END)
+    AND o.v  BETWEEN (CASE cb.cid WHEN 4 THEN qv.q00 ELSE qv.q02 END)
+                 AND (CASE cb.cid WHEN 4 THEN qv.q06 ELSE qv.q08 END)
+    AND o.pv BETWEEN (CASE cb.cid WHEN 4 THEN qv.q00 ELSE qv.q02 END)
+                 AND (CASE cb.cid WHEN 4 THEN qv.q06 ELSE qv.q08 END)
+),
+cq_mean AS (
+  SELECT user_id, event_type, cid, AVG(d) AS md, COUNT(*) AS cnt
+  FROM cq_sel GROUP BY user_id, event_type, cid
+),
+cq AS (
+  SELECT s.user_id, s.event_type, s.cid,
+         ANY_VALUE(m.md) AS md,
+         AVG(POWER(s.d - m.md, 2)) AS vard
+  FROM cq_sel s JOIN cq_mean m
+    ON s.user_id = m.user_id AND s.event_type = m.event_type
+   AND s.cid = m.cid
+  GROUP BY s.user_id, s.event_type, s.cid
+),
+
+-- ============ agg_autocorrelation (adjusted ACF, maxlag 5) ================
+ac_m AS (
+  SELECT user_id, event_type, AVG(v) AS m FROM ord
+  GROUP BY user_id, event_type
+),
+ac_pairs AS (
+  SELECT a.user_id, a.event_type, b.j - a.j AS k,
+         SUM((a.v - m.m) * (b.v - m.m)) AS s,
+         ANY_VALUE(a.n) AS n
+  FROM ord a
+  JOIN ord b ON a.user_id = b.user_id AND a.event_type = b.event_type
+            AND b.j - a.j BETWEEN 0 AND 5
+  JOIN ac_m m ON a.user_id = m.user_id AND a.event_type = m.event_type
+  GROUP BY a.user_id, a.event_type, b.j - a.j
+),
+rho AS (
+  SELECT p.user_id, p.event_type, p.k,
+         (p.s / (p.n - p.k)) / (z.s / z.n) AS r
+  FROM ac_pairs p
+  JOIN ac_pairs z ON p.user_id = z.user_id AND p.event_type = z.event_type
+                 AND z.k = 0
+  WHERE p.k BETWEEN 1 AND 5
+),
+aac AS (
+  SELECT user_id, event_type,
+         AVG(r) AS agg_mean, MEDIAN(r) AS agg_median,
+         AVG(r*r) - AVG(r)*AVG(r) AS agg_var
+  FROM rho GROUP BY user_id, event_type
+)
+
+SELECT s.user_id, s.event_type,
+       s.event_type || '__linear_trend__attr_"slope"' AS variable,
+       ROUND(f.slope, 6) + 0.0 AS value
+FROM series s JOIN lt_fit f USING (user_id, event_type)
+UNION ALL SELECT user_id, event_type,
+       event_type || '__linear_trend__attr_"intercept"',
+       ROUND(intercept, 6) + 0.0 FROM lt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__linear_trend__attr_"rvalue"',
+       ROUND(r, 6) + 0.0 FROM lt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__linear_trend__attr_"stderr"',
+       ROUND(SQRT((1.0 - r*r) * ssym / ssxm / (n - 2)), 6) + 0.0 FROM lt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"slope"__chunk_len_5__f_agg_"mean"',
+       ROUND(slope_mean, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"intercept"__chunk_len_5__f_agg_"mean"',
+       ROUND(intercept_mean, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"rvalue"__chunk_len_5__f_agg_"mean"',
+       ROUND(r_mean, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"stderr"__chunk_len_5__f_agg_"mean"',
+       CASE WHEN k = 2 THEN 0.0
+            ELSE ROUND(SQRT((1.0 - r_mean*r_mean) * ssym_mean / ssxm / (k - 2)), 6) + 0.0
+       END FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"slope"__chunk_len_5__f_agg_"max"',
+       ROUND(slope_max, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"intercept"__chunk_len_5__f_agg_"max"',
+       ROUND(intercept_max, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"rvalue"__chunk_len_5__f_agg_"max"',
+       ROUND(r_max, 6) + 0.0 FROM alt_fit
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_linear_trend__attr_"stderr"__chunk_len_5__f_agg_"max"',
+       CASE WHEN k = 2 THEN 0.0
+            ELSE ROUND(SQRT((1.0 - r_max*r_max) * ssym_max / ssxm / (k - 2)), 6) + 0.0
+       END FROM alt_fit
+UNION ALL SELECT s.user_id, s.event_type,
+       s.event_type || '__change_quantiles__f_agg_"mean"__isabs_False__qh_0.8__ql_0.2',
+       COALESCE(ROUND((SELECT md FROM cq_mean m WHERE m.user_id = s.user_id
+                        AND m.event_type = s.event_type AND m.cid = 1), 6) + 0.0, 0.0)
+FROM series s
+UNION ALL SELECT s.user_id, s.event_type,
+       s.event_type || '__change_quantiles__f_agg_"mean"__isabs_True__qh_0.8__ql_0.2',
+       COALESCE(ROUND((SELECT md FROM cq_mean m WHERE m.user_id = s.user_id
+                        AND m.event_type = s.event_type AND m.cid = 2), 6) + 0.0, 0.0)
+FROM series s
+UNION ALL SELECT s.user_id, s.event_type,
+       s.event_type || '__change_quantiles__f_agg_"var"__isabs_True__qh_0.8__ql_0.2',
+       COALESCE(ROUND((SELECT vard FROM cq c WHERE c.user_id = s.user_id
+                        AND c.event_type = s.event_type AND c.cid = 3), 6) + 0.0, 0.0)
+FROM series s
+UNION ALL SELECT s.user_id, s.event_type,
+       s.event_type || '__change_quantiles__f_agg_"mean"__isabs_True__qh_0.6__ql_0.0',
+       COALESCE(ROUND((SELECT md FROM cq_mean m WHERE m.user_id = s.user_id
+                        AND m.event_type = s.event_type AND m.cid = 4), 6) + 0.0, 0.0)
+FROM series s
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_autocorrelation__f_agg_"mean"__maxlag_5',
+       ROUND(agg_mean, 6) + 0.0 FROM aac
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_autocorrelation__f_agg_"median"__maxlag_5',
+       ROUND(agg_median, 6) + 0.0 FROM aac
+UNION ALL SELECT user_id, event_type,
+       event_type || '__agg_autocorrelation__f_agg_"var"__maxlag_5',
+       ROUND(agg_var, 6) + 0.0 FROM aac
+"""
+
+
+# ---------------------------------------------------------------------------
+# query_similarity_count — MASS distance profile vs a fixed 3-point query
+# (reference feature_calculators.py:2474-2521 via stumpy.core.mass): each
+# window z-normalized (std 0 → divide by 1), Euclidean distance to the
+# z-normalized query, count ≤ threshold.  The normalized query values are
+# inlined as full-precision literals on both sides.
+# ---------------------------------------------------------------------------
+
+_QSC_QUERY = [1.0, 5.0, 2.0]
+_QSC_THRESHOLD = 2.0
+
+
+def q_query_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {
+            "query_similarity_count": [
+                {
+                    "query": _QSC_QUERY,
+                    "threshold": _QSC_THRESHOLD,
+                    "normalize": True,
+                }
+            ]
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        F.lit("qsc").alias("variable"),  # param encoding embeds the list —
+        # normalize the name so the oracle needn't reproduce it char-exact
+        F.col("value"),
+    )
+
+
+def _qsc_oracle_sql() -> str:
+    import numpy as np
+
+    q = np.asarray(_QSC_QUERY, dtype=float)
+    qs = np.std(q)
+    qz = (q - np.mean(q)) / (qs if qs > 0 else 1.0)
+    q0, q1, q2 = (repr(float(v)) for v in qz)
+    thr = repr(float(_QSC_THRESHOLD))
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v * 1.0 AS v,
+         LEAD(v, 1) OVER po * 1.0 AS l1,
+         LEAD(v, 2) OVER po * 1.0 AS l2
+  FROM base
+  WINDOW po AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+win AS (
+  SELECT user_id, event_type, v, l1, l2,
+         (v + l1 + l2) / 3.0 AS mu,
+         SQRT((POWER(v - (v+l1+l2)/3.0, 2)
+             + POWER(l1 - (v+l1+l2)/3.0, 2)
+             + POWER(l2 - (v+l1+l2)/3.0, 2)) / 3.0) AS sd
+  FROM ord WHERE l2 IS NOT NULL
+),
+dist AS (
+  SELECT user_id, event_type,
+         SQRT(POWER((v  - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) - ({q0}), 2)
+            + POWER((l1 - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) - ({q1}), 2)
+            + POWER((l2 - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) - ({q2}), 2)) AS d
+  FROM win
+)
+SELECT user_id, event_type, 'qsc' AS variable,
+       CAST(SUM(CASE WHEN d <= {thr} THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM dist GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # entropy plane A — Chebyshev-distance family: sample_entropy (m=2,
 # r=0.2·std) and the full approximate_entropy default grid (m=2,
 # r ∈ 0.1..0.9·std), replayed in DuckDB as explicit window-pair distance
@@ -2946,6 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_chebyshev": q_entropy_cheb,
         "entropy_symbolic": q_entropy_symbolic,
         "ar_coefficient_k1": q_ar_k1,
+        "stats_sweep": q_stats_sweep,
+        "trend_sweep": q_trend_sweep,
+        "query_similarity": q_query_similarity,
         "matrix_profile_grid": q_matrix_profile,
         "asof_join": q_asof_join,
         "distribution_checks": q_distribution_checks,
@@ -2988,6 +3570,9 @@ def oracle_sql() -> dict[str, str]:
         "entropy_chebyshev": _ORACLE_ENTROPY_CHEB,
         "entropy_symbolic": _ORACLE_ENTROPY_SYMBOLIC,
         "ar_coefficient_k1": _ORACLE_AR_K1,
+        "stats_sweep": _ORACLE_STATS_SWEEP,
+        "trend_sweep": _ORACLE_TREND_SWEEP,
+        "query_similarity": _qsc_oracle_sql(),
         "matrix_profile_grid": _ORACLE_MATRIX_PROFILE,
         "asof_join": _ORACLE_ASOF_JOIN,
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
