@@ -843,3 +843,66 @@ def test_sliding_percentile_partition_equals_np_percentile():
         assert np.array_equal(
             got[half : half + len(want_interior)], want_interior
         ), (trial, n, width, perc)
+
+
+def test_lempel_ziv_trie_equals_slice_set():
+    """A/B: the trie-based LZ parse must equal the reference-shaped
+    set-of-byte-slices parse on random data (incl. short, constant, and
+    two-valued sequences) for every default bins value."""
+    import numpy as np
+
+    from tsfresh_spark.kernels import KERNELS
+
+    def slice_set_form(x, bins):
+        x = np.asarray(x)
+        edges = np.linspace(np.min(x), np.max(x), bins + 1)[1:]
+        sequence = np.searchsorted(edges, x, side="left")
+        n = len(sequence)
+        buf = sequence.astype(np.int64).tobytes()
+        words = set()
+        ind, inc = 0, 1
+        while ind + inc <= n:
+            word = buf[ind * 8 : (ind + inc) * 8]
+            if word in words:
+                inc += 1
+            else:
+                words.add(word)
+                ind += inc
+                inc = 1
+        return len(words) / n
+
+    lz = KERNELS["lempel_ziv_complexity"].func
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(0, 50257, 1024),
+        rng.randint(0, 5, 200),
+        rng.randint(0, 2, 64),
+        np.full(32, 7),
+        np.arange(17),
+        rng.randint(0, 100, 3),
+    ]
+    for x in cases:
+        for bins in (2, 3, 5, 10, 100):
+            assert lz(x, bins) == slice_set_form(x, bins), (len(x), bins)
+
+
+def test_sliding_percentile_at_equals_full():
+    """A/B: the selective noise-floor evaluator must equal the full sliding
+    percentile at every requested column, across widths, odd/even windows,
+    edge columns, and the degenerate window >= n case."""
+    import numpy as np
+
+    from tsfresh_spark.kernels.spectral import (
+        _sliding_percentile,
+        _sliding_percentile_at,
+    )
+
+    rng = np.random.RandomState(5)
+    for n in (1024, 200, 37, 8):
+        row = np.abs(rng.randn(n))
+        for width in (int(np.ceil(n / 20.0)), 5, 4, n, n + 3):
+            half, odd = width // 2, width % 2
+            full = _sliding_percentile(row, half, odd, 10)
+            cols = np.unique(rng.randint(0, n, size=min(n, 50)))
+            sel = _sliding_percentile_at(row, cols, half, odd, 10)
+            assert np.array_equal(sel, full[cols]), (n, width)

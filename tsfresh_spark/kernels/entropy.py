@@ -206,25 +206,39 @@ def permutation_entropy(x, tau, dimension):
 @kernel("lempel_ziv_complexity", "simple")
 def lempel_ziv_complexity(x, bins):
     """Number of LZ sub-words over the binned sequence, divided by n
-    (feature_calculators.py:1825-1862).  Inherently sequential scan."""
+    (feature_calculators.py:1825-1862).  Inherently sequential scan.
+
+    The sub-word set lives in a trie of dicts keyed by bin token: the scan
+    only ever extends through words that are already members, so every
+    node is terminal and membership == node existence — each step is one
+    dict lookup instead of re-hashing the growing byte slice (the previous
+    set-of-slices form re-copied O(word length) bytes per step; A/B-tested
+    equal in tests/test_kernels.py::test_lempel_ziv_trie_equals_slice_set).
+    """
     x = np.asarray(x)
     edges = np.linspace(np.min(x), np.max(x), bins + 1)[1:]
-    sequence = np.searchsorted(edges, x, side="left")
+    sequence = np.searchsorted(edges, x, side="left").tolist()
     n = len(sequence)
-    # byte-encode the binned sequence: subword identity via C-speed byte
-    # slices instead of python tuples (bijective for a fixed dtype)
-    buf = sequence.astype(np.int64).tobytes()
-    words = set()
-    ind, inc = 0, 1
-    while ind + inc <= n:
-        word = buf[ind * 8 : (ind + inc) * 8]
-        if word in words:
-            inc += 1
+    root: dict = {}
+    count = 0
+    ind = 0
+    while ind < n:
+        node = root
+        i = ind
+        while i < n:
+            child = node.get(sequence[i])
+            if child is None:
+                node[sequence[i]] = {}
+                count += 1
+                ind = i + 1
+                break
+            node = child
+            i += 1
         else:
-            words.add(word)
-            ind += inc
-            inc = 1
-    return len(words) / n
+            # the trailing word is already a member — the reference's loop
+            # exits without counting it
+            break
+    return count / n
 
 
 @kernel("fourier_entropy", "simple")

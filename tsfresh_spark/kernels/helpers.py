@@ -202,7 +202,7 @@ class LinregressResult(NamedTuple):
     stderr: float
 
 
-def linregress_np(x, y) -> LinregressResult:
+def linregress_np(x, y, *, with_pvalue: bool = True) -> LinregressResult:
     """Least-squares line fit with the classic two-sided t-test p-value.
 
     Numpy re-derivation of the textbook formulas used by
@@ -211,6 +211,11 @@ def linregress_np(x, y) -> LinregressResult:
     moments, r from the normalized covariance, p from the t statistic
     ``r*sqrt(df/(1-r^2))`` against a t(df) null, stderr from residual
     variance.
+
+    ``with_pvalue=False`` skips the incomplete-beta continued fraction (the
+    expensive part) and returns NaN for pvalue — callers whose attr grid
+    never asks for it (the default linear_trend/agg_linear_trend grids)
+    pass False; every other attribute is unchanged.
     """
     x = np.asarray(x, dtype=float)
     y = np.asarray(y, dtype=float)
@@ -235,9 +240,12 @@ def linregress_np(x, y) -> LinregressResult:
         pvalue = 1.0
         stderr = 0.0
     else:
-        TINY = 1e-20
-        t = r * np.sqrt(df / ((1.0 - r + TINY) * (1.0 + r + TINY)))
-        pvalue = 2.0 * student_t_sf(abs(float(t)), df)
+        if with_pvalue:
+            TINY = 1e-20
+            t = r * np.sqrt(df / ((1.0 - r + TINY) * (1.0 + r + TINY)))
+            pvalue = 2.0 * student_t_sf(abs(float(t)), df)
+        else:
+            pvalue = np.nan
         stderr = np.sqrt((1.0 - r**2) * ssym / ssxm / df)
     return LinregressResult(
         float(slope), float(intercept), float(r), float(pvalue), float(stderr)

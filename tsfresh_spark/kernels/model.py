@@ -31,7 +31,10 @@ from tsfresh_spark.kernels.registry import kernel
 @kernel("linear_trend", "combiner")
 def linear_trend(x, param):
     """Least-squares line against 0..n-1 (feature_calculators.py:1343-1366)."""
-    fit = linregress_np(np.arange(len(x)), x)
+    fit = linregress_np(
+        np.arange(len(x)), x,
+        with_pvalue=any(cfg["attr"] == "pvalue" for cfg in param),
+    )
     return [(f'attr_"{cfg["attr"]}"', getattr(fit, cfg["attr"])) for cfg in param]
 
 
@@ -43,7 +46,10 @@ def linear_trend_timewise(x, param):
     requires a DatetimeIndex (feature_calculators.py:2274-2305)."""
     ix = x.index
     times_hours = np.asarray((ix - ix[0]).total_seconds() / 3600.0)
-    fit = linregress_np(times_hours, x.values)
+    fit = linregress_np(
+        times_hours, x.values,
+        with_pvalue=any(cfg["attr"] == "pvalue" for cfg in param),
+    )
     return [(f'attr_"{cfg["attr"]}"', getattr(fit, cfg["attr"])) for cfg in param]
 
 
@@ -53,6 +59,11 @@ def agg_linear_trend(x, param):
     (f_agg, chunk_len) (feature_calculators.py:2171-2222)."""
     cache = {}
     out = []
+    want_p = {
+        (cfg["f_agg"], cfg["chunk_len"])
+        for cfg in param
+        if cfg["attr"] == "pvalue"
+    }
     for cfg in param:
         chunk_len, f_agg, attr = cfg["chunk_len"], cfg["f_agg"], cfg["attr"]
         key = (f_agg, chunk_len)
@@ -61,7 +72,9 @@ def agg_linear_trend(x, param):
                 cache[key] = None
             else:
                 agg = chunked_aggregate(x, f_agg, chunk_len)
-                cache[key] = linregress_np(np.arange(len(agg)), agg)
+                cache[key] = linregress_np(
+                    np.arange(len(agg)), agg, with_pvalue=key in want_p
+                )
         fit = cache[key]
         name = f'attr_"{attr}"__chunk_len_{chunk_len}__f_agg_"{f_agg}"'
         out.append((name, np.nan if fit is None else getattr(fit, attr)))

@@ -220,12 +220,13 @@ def change_quantiles_batch(x, param_list):
     isabs, f_agg) combinations — same per-parameter values as calling
     :func:`change_quantiles` 60 times, ~6x cheaper.  Used by the extraction
     engine; the scalar kernel remains the semantic reference."""
-    from tsfresh_spark.naming import encode_parameters
+    from tsfresh_spark.naming import cached_param_names
 
+    names = cached_param_names(param_list)
     x = np.asarray(x)
     out = []
     if len(x) < 2:
-        return [(encode_parameters(p), 0.0) for p in param_list]
+        return [(name, 0.0) for name in names]
     div = np.diff(x)
     abs_div = np.abs(div)
     # one vectorized quantile call for every distinct q in the grid —
@@ -236,9 +237,13 @@ def change_quantiles_batch(x, param_list):
     )
     qcache: dict = dict(zip(uq, np.quantile(x, uq))) if uq else {}
     selections: dict = {}
-    for p in param_list:
+    # np.mean / np.var stripped to their exact internal operation sequence
+    # (umr_sum == np.add.reduce, same order ⇒ bit-identical — guarded by
+    # test_batched_equivalence) without the per-call dispatch machinery,
+    # which profiled at ~1/3 of this evaluator's cost
+    _sum = np.add.reduce
+    for p, name in zip(param_list, names):
         ql, qh, isabs, f_agg = p["ql"], p["qh"], p["isabs"], p["f_agg"]
-        name = encode_parameters(p)
         if ql >= qh:
             out.append((name, 0.0))
             continue
@@ -255,7 +260,17 @@ def change_quantiles_batch(x, param_list):
                 else:
                     selections[key] = (abs_div if isabs else div)[ind]
         sel = selections[key]
-        out.append((name, 0.0 if sel is None else float(getattr(np, f_agg)(sel))))
+        if sel is None:
+            out.append((name, 0.0))
+            continue
+        m = _sum(sel) / sel.size
+        if f_agg == "mean":
+            out.append((name, float(m)))
+        elif f_agg == "var":
+            d = sel - m
+            out.append((name, float(_sum(d * d) / sel.size)))
+        else:
+            out.append((name, float(getattr(np, f_agg)(sel))))
     return out
 
 

@@ -247,25 +247,72 @@ def _sliding_percentile(row: np.ndarray, half: int, odd: int, perc: float) -> np
     return out
 
 
+def _sliding_percentile_at(
+    row: np.ndarray, cols: np.ndarray, half: int, odd: int, perc: float
+) -> np.ndarray:
+    """:func:`_sliding_percentile` evaluated only at ``cols`` — the noise
+    floor is consulted at ridge-start columns only (~10–20% of positions),
+    so partitioning every window wastes most of its work.  Per-window
+    arithmetic is identical to the full form (A/B-asserted in
+    test_kernels.py), including the clipped edge windows."""
+    n = len(row)
+    width = 2 * half + odd
+    out = np.empty(len(cols))
+    if width >= n or width == 0:
+        out[:] = np.percentile(row, perc)
+        return out
+    interior = (cols >= half) & (cols + half + odd <= n)
+    ci = cols[interior]
+    if len(ci):
+        win = row[ci[:, None] + np.arange(-half, half + odd)[None, :]]
+        pos = (width - 1) * (perc / 100.0)
+        lo = int(pos)
+        t = pos - lo
+        if t == 0:
+            vals = np.partition(win, lo, axis=1)[:, lo]
+        else:
+            part = np.partition(win, (lo, lo + 1), axis=1)
+            a_, b_ = part[:, lo], part[:, lo + 1]
+            vals = b_ - (b_ - a_) * (1 - t) if t >= 0.5 else a_ + (b_ - a_) * t
+        out[interior] = vals
+
+    def pct(a):
+        a = np.sort(a)
+        pos = (len(a) - 1) * (perc / 100.0)
+        lo = int(pos)
+        t = pos - lo
+        if t == 0:
+            return a[lo]
+        b_, a_ = a[lo + 1], a[lo]
+        return b_ - (b_ - a_) * (1 - t) if t >= 0.5 else a_ + (b_ - a_) * t
+
+    for k in np.nonzero(~interior)[0]:
+        i = cols[k]
+        out[k] = pct(row[: i + half + odd]) if i < half else pct(row[i - half :])
+    return out
+
+
 def _filter_ridge_lines(mat, lines, min_snr=1.0, noise_perc=10):
     num_points = mat.shape[1]
     min_length = np.ceil(mat.shape[0] / 4.0)
     window_size = int(np.ceil(num_points / 20.0))
     half, odd = window_size // 2, window_size % 2
+    survivors = [line for line in lines if line[2] >= min_length]
+    if not survivors:
+        return []
     row_one = np.abs(mat[0, :])
-    noises = _sliding_percentile(row_one, half, odd, noise_perc)
+    cols = np.asarray([line[1] for line in survivors])
+    noises = _sliding_percentile_at(row_one, cols, half, odd, noise_perc)
 
-    def keep(line):
-        row0, col0, length = line
-        if length < min_length:
-            return False
-        noise = noises[col0]
+    def keep(idx, line):
+        row0, col0, _length = line
+        noise = noises[idx]
         if noise == 0:
             return True
         snr = abs(mat[row0, col0] / noise)
         return snr >= min_snr
 
-    return [line for line in lines if keep(line)]
+    return [line for idx, line in enumerate(survivors) if keep(idx, line)]
 
 
 @kernel("number_cwt_peaks", "simple")
@@ -285,10 +332,9 @@ def number_cwt_peaks(x, n):
             return 0
         num_points = mat.shape[1]
         window_size = int(np.ceil(num_points / 20.0))
-        noises = _sliding_percentile(
-            np.abs(mat[0, :]), window_size // 2, window_size % 2, 10
+        noise = _sliding_percentile_at(
+            np.abs(mat[0, :]), cols, window_size // 2, window_size % 2, 10
         )
-        noise = noises[cols]
         with np.errstate(all="ignore"):
             ok = (noise == 0) | (np.abs(mat[0, cols] / noise) >= 1.0)
         return int(np.count_nonzero(ok))

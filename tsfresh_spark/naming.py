@@ -31,6 +31,25 @@ def encode_parameters(params: dict) -> str:
     return "__".join(out)
 
 
+_NAME_CACHE: dict = {}
+_NAME_CACHE_MAX = 64
+
+
+def cached_param_names(param_list) -> list[str]:
+    """Per-param-list memo of :func:`encode_parameters` results, keyed by
+    list identity (settings objects are long-lived across an Arrow batch,
+    so batched evaluators would otherwise re-encode every name for every
+    series).  Bounded; identity-checked against id() reuse."""
+    key = id(param_list)
+    hit = _NAME_CACHE.get(key)
+    if hit is None or hit[0] is not param_list:
+        hit = (param_list, [encode_parameters(p) for p in param_list])
+        if len(_NAME_CACHE) >= _NAME_CACHE_MAX:
+            _NAME_CACHE.pop(next(iter(_NAME_CACHE)))
+        _NAME_CACHE[key] = hit
+    return hit[1]
+
+
 def feature_name(kind: str, calculator: str, params: dict | None = None) -> str:
     """Full feature column name ``kind__calculator[__params]``."""
     name = f"{kind}__{calculator}"
