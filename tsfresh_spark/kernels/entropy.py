@@ -194,7 +194,17 @@ def permutation_entropy(x, tau, dimension):
     X = sliding_windows(np.asarray(x), dimension, tau) if len(x) >= dimension else np.empty((0, dimension))
     if len(X) == 0:
         return np.nan
-    permutations = np.argsort(np.argsort(X))
+    # double argsort = inverse of the sort permutation; build the inverse by
+    # scatter-assignment instead of a second argsort (identical rank
+    # vectors — an inverse permutation is unique — at half the sort cost)
+    order = np.argsort(X)
+    permutations = np.empty_like(order)
+    np.put_along_axis(
+        permutations,
+        order,
+        np.broadcast_to(np.arange(dimension), order.shape),
+        axis=1,
+    )
     # encode each ordinal pattern as one base-d integer (injective since all
     # entries < dimension) — 1-D unique is ~5x faster than unique(axis=0)
     codes = permutations @ (dimension ** np.arange(dimension, dtype=np.int64))
