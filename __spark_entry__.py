@@ -2387,6 +2387,328 @@ LEFT JOIN fourier f
 
 
 # ---------------------------------------------------------------------------
+# lempel_ziv_complexity: the LZ phrase parse is inherently sequential
+# (reference feature_calculators.py:1825-1862), but the sequential state
+# machine itself is expressible as a DuckDB RECURSIVE CTE — each step
+# carries (ind, inc, count, seen-phrase string) and membership is a
+# delimiter-guarded strpos.  Binning mirrors np.linspace exactly (the last
+# edge is pinned to max(x), not mn + b*step — np.linspace sets the endpoint
+# explicitly, and an x == max(x) would otherwise bin off-by-one).  count/n
+# is a single int/int IEEE division, so the comparison is BIT-EXACT with
+# no rounding at all.
+# ---------------------------------------------------------------------------
+
+
+def q_lempel_ziv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {"lempel_ziv_complexity": [{"bins": b} for b in (2, 3, 5, 10, 100)]},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select("user_id", "event_type", "variable", "value")
+
+
+_ORACLE_LEMPEL_ZIV = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+  FROM events
+),
+ord AS (
+  SELECT user_id, event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n,
+         MIN(v) OVER (PARTITION BY user_id, event_type) AS mn,
+         MAX(v) OVER (PARTITION BY user_id, event_type) AS mx
+  FROM base
+),
+bins AS (SELECT UNNEST([2, 3, 5, 10, 100]) AS b),
+-- np.searchsorted(linspace(mn,mx,b+1)[1:], v, side='left') = count of upper
+-- edges strictly below v; linspace pins the LAST edge to mx exactly
+tok AS (
+  SELECT o.user_id, o.event_type, bi.b, o.j, o.n,
+         (SELECT COUNT(*) FROM (SELECT UNNEST(range(1, bi.b + 1)) AS k)
+          WHERE (CASE WHEN k = bi.b THEN CAST(o.mx AS DOUBLE)
+                      ELSE o.mn + k * ((CAST(o.mx AS DOUBLE) - o.mn) / bi.b)
+                 END) < o.v) AS t
+  FROM ord o CROSS JOIN bins bi
+),
+seqs AS (
+  SELECT user_id, event_type, b, LIST(t ORDER BY j) AS seq, ANY_VALUE(n) AS n
+  FROM tok GROUP BY user_id, event_type, b
+),
+-- the reference's slice-set parse as a state machine: on a member phrase
+-- extend (inc+1), on a miss commit the phrase (count+1, advance ind);
+-- the trailing in-progress word is never counted.  'seen' holds committed
+-- phrases '|'-delimited with ','-joined tokens, so strpos on
+-- '|' || sub || '|' matches whole phrases only.
+parse AS (
+  SELECT user_id, event_type, b, seq, n,
+         0 AS ind, 1 AS inc, 0 AS cnt, '|' AS seen, 0 AS step
+  FROM seqs
+  UNION ALL
+  SELECT user_id, event_type, b, seq, n,
+         CASE WHEN hit THEN ind ELSE ind + inc END AS ind,
+         CASE WHEN hit THEN inc + 1 ELSE 1 END AS inc,
+         CASE WHEN hit THEN cnt ELSE cnt + 1 END AS cnt,
+         CASE WHEN hit THEN seen ELSE seen || sub || '|' END AS seen,
+         step + 1 AS step
+  FROM (
+    SELECT *, strpos(seen, '|' || sub || '|') > 0 AS hit
+    FROM (
+      SELECT *, array_to_string(seq[ind+1 : ind+inc], ',') AS sub
+      FROM parse WHERE ind + inc <= n
+    )
+  )
+),
+final AS (
+  SELECT user_id, event_type, b, MAX_BY(cnt, step) AS cnt, ANY_VALUE(n) AS n
+  FROM parse GROUP BY user_id, event_type, b
+)
+SELECT user_id, event_type,
+       event_type || '__lempel_ziv_complexity__bins_' || b AS variable,
+       CAST(cnt AS DOUBLE) / n AS value
+FROM final
+"""
+
+
+# ---------------------------------------------------------------------------
+# friedrich_coefficients: quantile-binned drift polyfit (reference
+# feature_calculators.py:131-173, 2082-2130).  The oracle replays the FULL
+# pipeline in generated SQL: np.percentile edges with the pandas ×100
+# round-trip and numpy's _lerp t>=0.5 branch, qcut bin assignment, exact
+# integer-sum bin means, then the degree-3 least squares solved by a
+# Cramer-unrolled 4×4 normal-equation system in a CENTERED+SCALED basis
+# (u = (x−μ)/s) with polyfit-style column normalization and one iterative-
+# refinement step, back-transformed to monomial coefficients algebraically.
+# Centering is the load-bearing trick: raw monomial normal equations square
+# the Vandermonde condition number and diverge from polyfit's SVD at ~1e-5;
+# the centered solve agrees to ≤ 7.6e-9 on every coefficient (measured over
+# 1379 series×r cases) — 65× inside the round(6) quantum.
+#
+# Series are de-tied with an EXACT dyadic salt (v + j/128 — 7 fractional
+# bits, all sums stay exact in double): distinct values + the n >= r+2
+# filter guarantee unique quantile edges and all r bins occupied, which
+# keeps the kernel off its two non-SQL-expressible paths (the qcut
+# ValueError → NaN path and polyfit's rank-deficient min-norm SVD path).
+# ---------------------------------------------------------------------------
+
+_FRIEDRICH_RS = (5, 8)  # n >= r+2 ⇒ every bin occupied; r=30 needs n >= 32
+_FRIEDRICH_MIN_N = max(_FRIEDRICH_RS) + 2
+
+
+def q_friedrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the LONG grouped path, not the tokens path: the tokens engine coerces
+    # token arrays to int64 (the table contract), which would truncate the
+    # dyadic de-tie salt — the long path feeds the value column through as
+    # float64 (and this doubles as combiner coverage for that engine)
+    from tsfresh_spark.extract import extract_features_long
+
+    ev = _events_long(spark, sf_dir).withColumn(
+        "v0", F.pmod("v", F.lit(97)).cast("double")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    salted = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(128.0)).alias(
+            "value"
+        ),
+        F.count("*")
+        .over(Window.partitionBy("user_id", "event_type"))
+        .alias("_n"),
+    ).filter(F.col("_n") >= _FRIEDRICH_MIN_N)
+    feats = extract_features_long(
+        salted,
+        {
+            "friedrich_coefficients": [
+                {"m": 3, "r": r, "coeff": c}
+                for r in _FRIEDRICH_RS
+                for c in range(4)
+            ]
+        },
+        column_id="user_id",
+        column_kind="event_type",
+        column_sort=["ts", "event_id"],
+        column_value="value",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+def _cramer_det_sql(mat) -> str:
+    """4×4 determinant as an explicit 24-term SQL expression."""
+    import itertools
+
+    terms = []
+    for perm in itertools.permutations(range(4)):
+        inv = sum(
+            1 for i in range(4) for j in range(i + 1, 4) if perm[i] > perm[j]
+        )
+        sign = "-" if inv % 2 else "+"
+        terms.append(f"{sign}{'*'.join(mat[i][perm[i]] for i in range(4))}")
+    return "(" + "".join(terms) + ")"
+
+
+def _friedrich_oracle_sql() -> str:
+    def per_r(r: int) -> str:
+        return f"""
+ed{r} AS (
+  SELECT s.user_id, s.event_type, s.k,
+    CASE WHEN t < 0.5 THEN a + (b - a) * t ELSE b - (b - a) * (1 - t) END AS edge
+  FROM (
+    SELECT user_id, event_type, k,
+      ssig[CAST(FLOOR(h) AS BIGINT) + 1] AS a,
+      ssig[LEAST(CAST(FLOOR(h) AS BIGINT) + 2, ns)] AS b,
+      h - FLOOR(h) AS t
+    FROM (
+      SELECT user_id, event_type, ssig, ns, k.k,
+        ((CASE WHEN k.k = {r} THEN 1.0 ELSE k.k * (1.0/{r}) END * 100) / 100) * (ns - 1) AS h
+      FROM sigs, (SELECT UNNEST(range(0, {r}+1)) AS k) k
+    )
+  ) s
+),
+uq{r} AS (
+  SELECT user_id, event_type, LIST(edge ORDER BY k) AS edges
+  FROM ed{r} GROUP BY user_id, event_type
+),
+bn{r} AS (
+  SELECT p.user_id, p.event_type,
+    LEAST(GREATEST(len(list_filter(u.edges, e -> e < p.sv)) - 1, 0), {r}-1) AS b,
+    p.sv, p.dv
+  FROM pts p JOIN uq{r} u ON p.user_id = u.user_id AND p.event_type = u.event_type
+),
+gm{r} AS (
+  SELECT user_id, event_type, b, SUM(sv)/COUNT(*) AS xm, SUM(dv)/COUNT(*) AS ym
+  FROM bn{r} GROUP BY user_id, event_type, b
+),
+cs{r} AS (
+  SELECT user_id, event_type, AVG(xm) AS mu FROM gm{r} GROUP BY user_id, event_type
+),
+cs2{r} AS (
+  SELECT g.user_id, g.event_type, c.mu,
+         GREATEST(MAX(ABS(g.xm - c.mu)), 1e-300) AS sc
+  FROM gm{r} g JOIN cs{r} c ON g.user_id = c.user_id AND g.event_type = c.event_type
+  GROUP BY g.user_id, g.event_type, c.mu
+),
+uu{r} AS (
+  SELECT g.user_id, g.event_type, c.mu, c.sc,
+         (g.xm - c.mu) / c.sc AS um, g.ym
+  FROM gm{r} g JOIN cs2{r} c ON g.user_id = c.user_id AND g.event_type = c.event_type
+),
+ps{r} AS (
+  SELECT user_id, event_type, ANY_VALUE(mu) AS mu, ANY_VALUE(sc) AS sc,
+    {', '.join(f'SUM(POWER(um, {p})) AS s{p}' for p in range(0, 7))},
+    {', '.join(f'SUM(POWER(um, {p}) * ym) AS t{p}' for p in range(0, 4))}
+  FROM uu{r} GROUP BY user_id, event_type
+)"""
+
+    def solve_r(r: int) -> str:
+        nrm = [f"n{a}" for a in range(4)]
+        A = [
+            [f"(s{(3 - i) + (3 - j)}/({nrm[i]}*{nrm[j]}))" for j in range(4)]
+            for i in range(4)
+        ]
+        bvec = [f"(t{3 - i}/{nrm[i]})" for i in range(4)]
+        d = _cramer_det_sql(A)
+        sols = []
+        for c in range(4):
+            Ac = [
+                [bvec[i] if j == c else A[i][j] for j in range(4)]
+                for i in range(4)
+            ]
+            sols.append(f"({_cramer_det_sql(Ac)}) / dd AS z{c}")
+        res = [
+            f"({bvec[i]} - ({'+'.join(f'{A[i][j]}*z{j}' for j in range(4))}))"
+            for i in range(4)
+        ]
+        dzs = []
+        for c in range(4):
+            Ac = [
+                [f"r{i}" if j == c else A[i][j] for j in range(4)]
+                for i in range(4)
+            ]
+            dzs.append(f"({_cramer_det_sql(Ac)}) / dd AS dz{c}")
+        return f"""
+nr{r} AS (
+  SELECT *, SQRT(s6) AS n0, SQRT(s4) AS n1, SQRT(s2) AS n2, SQRT(s0) AS n3 FROM ps{r}
+),
+dd{r} AS (
+  SELECT *, {d} AS dd FROM nr{r}
+),
+z{r} AS (
+  SELECT *, {', '.join(sols)} FROM dd{r}
+),
+rs{r} AS (
+  SELECT *, {', '.join(f'{res[i]} AS r{i}' for i in range(4))} FROM z{r}
+),
+dz{r} AS (
+  SELECT *, {', '.join(dzs)} FROM rs{r}
+),
+cc{r} AS (
+  SELECT user_id, event_type, mu, sc,
+    (z0+dz0)/n0 AS a3, (z1+dz1)/n1 AS a2, (z2+dz2)/n2 AS a1, (z3+dz3)/n3 AS a0
+  FROM dz{r}
+),
+sol{r} AS (
+  SELECT user_id, event_type,
+    a3/(sc*sc*sc) AS c0,
+    -3*a3*mu/(sc*sc*sc) + a2/(sc*sc) AS c1,
+    3*a3*mu*mu/(sc*sc*sc) - 2*a2*mu/(sc*sc) + a1/sc AS c2,
+    -a3*mu*mu*mu/(sc*sc*sc) + a2*mu*mu/(sc*sc) - a1*mu/sc + a0 AS c3
+  FROM cc{r}
+)"""
+
+    unions = []
+    for r in _FRIEDRICH_RS:
+        for c in range(4):
+            unions.append(
+                f"SELECT user_id, event_type, event_type || "
+                f"'__friedrich_coefficients__coeff_{c}__m_3__r_{r}' AS variable, "
+                f"ROUND(c{c}, 6) + 0.0 AS value FROM sol{r}"
+            )
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id,
+         ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v0
+  FROM events
+),
+ord0 AS (
+  SELECT user_id, event_type,
+         v0 + (ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1) / 128.0 AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM base
+),
+keepser AS (SELECT user_id, event_type FROM ord0 WHERE j = 0 AND n >= {_FRIEDRICH_MIN_N}),
+pts AS (
+  SELECT a.user_id, a.event_type, CAST(a.v AS DOUBLE) AS sv,
+         CAST(b.v - a.v AS DOUBLE) AS dv
+  FROM ord0 a
+  JOIN keepser k ON a.user_id = k.user_id AND a.event_type = k.event_type
+  JOIN ord0 b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type AND b.j = a.j + 1
+),
+sigs AS (
+  SELECT user_id, event_type, LIST(sv ORDER BY sv) AS ssig, COUNT(*) AS ns
+  FROM pts GROUP BY user_id, event_type
+),
+{','.join(per_r(r) + ',' + solve_r(r) for r in _FRIEDRICH_RS)}
+{' UNION ALL '.join(unions)}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ar_coefficient at k=1: the AutoReg OLS path (intercept + lag-1
 # coefficient) has a textbook closed form — regress x_t on [1, x_{t−1}]
 # (reference feature_calculators.py:1459-1507).  The default k=10 grid is
@@ -3474,6 +3796,71 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {_SIMHASH_MAX_HAMMING}
 """
 
 
+_NGRAM_MAX_DF = 64  # inverted-index hot-shingle guard
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone EXACT n-gram Jaccard dedup (inverted index + df pruning) —
+    the non-hashed flavor, distinct from the minhash approximation."""
+    _prep(spark)
+    from tsfresh_spark.operators.dedup import ngram_jaccard_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_duplicates(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=3,
+        threshold=_MINHASH_THRESHOLD,
+        max_df=_NGRAM_MAX_DF,
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("jaccard").cast("double"),
+    )
+
+
+# DuckDB replica of the full inverted-index pipeline: same shingling, same
+# df-pruning window, same length-ratio prune, same integer-arithmetic
+# Jaccard — bit-exact (division of two exact ints is one IEEE op).
+_ORACLE_NGRAM_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingles
+  FROM w
+),
+sh2 AS (
+  SELECT doc_id, shingles, len(shingles) AS sz FROM sh WHERE len(shingles) > 0
+),
+inv AS (SELECT doc_id, sz, unnest(shingles) AS shingle FROM sh2),
+keepsh AS (
+  SELECT shingle FROM inv GROUP BY shingle
+  HAVING count(*) BETWEEN 2 AND {_NGRAM_MAX_DF}
+),
+kept AS (SELECT i.* FROM inv i JOIN keepsh USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) >= {_MINHASH_THRESHOLD} * greatest(a.sz, b.sz)
+)
+SELECT c.id_a, c.id_b,
+  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+FROM cand c
+JOIN sh2 a ON c.id_a = a.doc_id
+JOIN sh2 b ON c.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+    >= {_MINHASH_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3524,6 +3911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf": q_pacf,
         "entropy_chebyshev": q_entropy_cheb,
         "entropy_symbolic": q_entropy_symbolic,
+        "lempel_ziv": q_lempel_ziv,
+        "friedrich_coefficients": q_friedrich,
         "ar_coefficient_k1": q_ar_k1,
         "stats_sweep": q_stats_sweep,
         "trend_sweep": q_trend_sweep,
@@ -3533,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_checks": q_distribution_checks,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "timewise_trend_hourly": q_timewise_trend,
         "fresh_relevance": q_fresh_relevance,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3569,6 +3959,8 @@ def oracle_sql() -> dict[str, str]:
         "pacf": _pacf_oracle_sql(),
         "entropy_chebyshev": _ORACLE_ENTROPY_CHEB,
         "entropy_symbolic": _ORACLE_ENTROPY_SYMBOLIC,
+        "lempel_ziv": _ORACLE_LEMPEL_ZIV,
+        "friedrich_coefficients": _friedrich_oracle_sql(),
         "ar_coefficient_k1": _ORACLE_AR_K1,
         "stats_sweep": _ORACLE_STATS_SWEEP,
         "trend_sweep": _ORACLE_TREND_SWEEP,
@@ -3578,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_checks": _ORACLE_DISTRIBUTION_CHECKS,
         "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": _ORACLE_SIMHASH,
+        "ngram_jaccard_dups": _ORACLE_NGRAM_JACCARD,
         "timewise_trend_hourly": _ORACLE_TIMEWISE_TREND,
         "fresh_relevance": _ORACLE_FRESH_RELEVANCE,
         "embedding_near_dups": _embedding_neardup_oracle_sql(),

@@ -13,6 +13,7 @@ from tsfresh_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_near_duplicates,
     minhash_signatures,
+    ngram_jaccard_duplicates,
     simhash,
     simhash_near_duplicates,
 )
@@ -61,6 +62,53 @@ def test_minhash_finds_near_duplicates(spark, corpus):
     # unrelated docs never pair at 0.5 Jaccard on 3-shingles
     unrelated = [p for p in found if p[0] >= 3 and p[1] >= 3]
     assert unrelated == []
+
+
+def test_ngram_jaccard_finds_near_duplicates(spark, corpus):
+    pairs = ngram_jaccard_duplicates(corpus, threshold=0.5).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found
+    assert pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"] == 1.0
+    assert (0, 2) in found or (1, 2) in found
+    unrelated = [p for p in found if p[0] >= 3 and p[1] >= 3]
+    assert unrelated == []
+
+
+def test_ngram_jaccard_equals_bruteforce_when_uncapped(spark, corpus):
+    """With max_df >= corpus size the inverted index loses no pair: the
+    result equals brute-force all-pairs exact Jaccard at the threshold
+    (exactness contract — minhash only approximates this set)."""
+    out = ngram_jaccard_duplicates(corpus, threshold=0.4, max_df=10_000)
+    got = {
+        (a, b): j
+        for a, b, j in out.select("id_a", "id_b", "jaccard").collect()
+    }
+    ids = corpus.select("doc_id").toPandas().doc_id.tolist()
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    brute = {
+        (a, b): j
+        for a, b, j in jaccard_verify(
+            corpus, all_pairs, threshold=0.4
+        ).collect()
+    }
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_ngram_jaccard_max_df_prunes(spark, corpus):
+    # every doc repeats the SAME text -> each shingle has df = n_docs,
+    # above the cap -> no candidates survive the hot-shingle guard
+    same = spark.createDataFrame(
+        [(i, "one two three four five six") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_duplicates(same, threshold=0.5, max_df=5)
+    assert out.count() == 0
+    # raising the cap above n_docs restores the full duplicate clique
+    out2 = ngram_jaccard_duplicates(same, threshold=0.5, max_df=10)
+    assert out2.count() == 45
 
 
 def test_minhash_jaccard_bounds(spark, corpus):

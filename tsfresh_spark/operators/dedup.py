@@ -1,11 +1,16 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four flavors, all expressed as DataFrame plans:
+Five flavors, all expressed as DataFrame plans:
 
 * exact            — hash-groupBy on a content digest (pure Catalyst)
 * minhash + LSH    — shingle → minhash signature → band-bucket join
 * simhash          — weighted bit fingerprint, near-dup via hamming bands
-* n-gram Jaccard   — verify candidate pairs with exact shingle-set Jaccard
+* n-gram Jaccard   — EXACT Jaccard via inverted shingle index with
+                     document-frequency pruning (no hash approximation)
+* embedding cosine — sign-LSH bucket join + exact-cosine verify
+
+:func:`jaccard_verify` is the shared exact-verification tail of the
+minhash and n-gram flavors.
 
 Two hash families: ``xxhash64`` (pure Catalyst, fastest primitive) and
 ``portable`` (md5 base values + seeded affine universal hashes) whose every
@@ -316,6 +321,88 @@ def jaccard_verify(
         )
     )
     return joined.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_duplicates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    persist: bool = True,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup via an inverted shingle index — the
+    fourth dedup flavor (no hashing approximation, unlike minhash/simhash).
+
+    Pipeline: shingle each doc (word ``shingle_n``-grams, distinct) →
+    explode to an inverted index (shingle → doc) → document-frequency
+    pruning (keep shingles with ``2 <= df <= max_df``) → self-join on the
+    shingle key for candidate pairs → exact-Jaccard verification
+    (:func:`jaccard_verify`) on candidates only.
+
+    Scale shape (the 100-TB contract): candidate generation is a shuffle on
+    the shingle key, never an all-pairs join — per-shingle fan-out is
+    bounded at ``max_df·(max_df-1)/2`` pairs by the df guard, and df-1
+    shingles (can't pair) plus stopword-like high-df shingles are dropped
+    before the join.  The length-ratio prune (``J >= t ⇒ t·max(|A|,|B|) <=
+    min(|A|,|B|)``, an exact implication) cuts candidates before the
+    set-intersection verify.  Approximation contract: a pair whose EVERY
+    shared shingle has ``df > max_df`` is missed — deterministic, engine-
+    independent (the DuckDB oracle replays the identical pruning).
+
+    Returns (id_a, id_b, jaccard) with ``id_a < id_b`` and
+    ``jaccard >= threshold``.
+    """
+    from tsfresh_spark.plans.partitioning import ensure_min_parallelism
+
+    sh = (
+        ensure_min_parallelism(df)
+        # cheap word-count pre-filter — see minhash_signatures for why not
+        # size(shingles)
+        .filter(F.size(_words(text_col)) >= shingle_n)
+        .select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        # reused three ways (inverted index + both verify sides); without a
+        # persist the shingling re-runs per use — the dominant cost
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = sh.select(
+        F.col(id_col).alias("_id"),
+        F.size("sh").alias("_sz"),
+        F.explode("sh").alias("_shingle"),
+    )
+    dfreq = F.count("*").over(Window.partitionBy("_shingle"))
+    kept = inv.withColumn("_df", dfreq).filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._shingle") == F.col("b._shingle"))
+            & (F.col("a._id") < F.col("b._id"))
+            # exact length-ratio implication of J >= t
+            & (
+                F.least("a._sz", "b._sz")
+                >= threshold * F.greatest("a._sz", "b._sz")
+            ),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(
+        df,
+        pairs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        shingle_df=sh,
+    )
 
 
 def minhash_near_duplicates(
