@@ -128,6 +128,7 @@ def near_dup_scale(spark, sf: float) -> dict | None:
         lsh_bucket_report,
         lsh_candidate_pairs,
         minhash_signatures,
+        ngram_jaccard_duplicates,
         simhash_near_duplicates,
     )
     from tsfresh_spark.sources.synthetic import embeddings_corpus, text_corpus
@@ -182,6 +183,27 @@ def near_dup_scale(spark, sf: float) -> dict | None:
         .collect()[0]
     )
     out["simhash"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "candidate_pairs": row["c"],
+        "verified_pairs": row["v"],
+        "candidate_frac_of_n2": round(row["c"] / out["possible_pairs"], 8),
+    }
+
+    # exact n-gram Jaccard via inverted index: threshold 0 keeps every
+    # df-pruned candidate, so one aggregate yields candidate AND verified
+    # (jaccard ≥ 0.8) counts; max_df is the hot-shingle guard
+    t0 = time.perf_counter()
+    row = (
+        ngram_jaccard_duplicates(
+            docs, text_col="text", threshold=0.0, max_df=1024
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.count_if(F.col("jaccard") >= 0.8).alias("v"),
+        )
+        .collect()[0]
+    )
+    out["ngram_jaccard"] = {
         "sec": round(time.perf_counter() - t0, 3),
         "candidate_pairs": row["c"],
         "verified_pairs": row["v"],

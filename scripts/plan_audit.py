@@ -151,6 +151,24 @@ def run_audit(
         "hot-bucket cap); exact cosine runs on candidates only.",
     )
 
+    # 5b. exact n-gram Jaccard: inverted-index equi-join on the shingle
+    # key — the same never-all-pairs contract as the hashed flavors
+    audit(
+        "ngram_jaccard_dups",
+        qs["ngram_jaccard_dups"](spark, sf_dir),
+        [
+            ("no CartesianProduct", lambda p: "CartesianProduct" not in p),
+            ("no BroadcastNestedLoopJoin", lambda p: "BroadcastNestedLoopJoin" not in p),
+            (
+                "df-pruning window on the shingle key",
+                lambda p: "Window" in p,
+            ),
+        ],
+        "Candidates come from an equi-join on the shingle key with the "
+        "document-frequency guard (2 ≤ df ≤ max_df) pruning stopword-like "
+        "shingles before the join; exact Jaccard runs on candidates only.",
+    )
+
     # 6. scan hygiene: filter + projection pushed into the parquet scan
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pruned = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
