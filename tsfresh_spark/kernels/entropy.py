@@ -160,9 +160,23 @@ def approximate_entropy_batch(x, param_list):
         def _phis(mm):
             d = mats[mm]
             k = d.shape[0]
+            counts = np.empty((len(rs), k), dtype=np.int64)
+            # row-tiled so each ~1 MB contiguous block stays cache-resident
+            # across the whole r grid: the matrix is streamed from memory
+            # ONCE instead of len(rs) times (the counting pass is
+            # bandwidth-bound).  d is symmetric, so the row reduction
+            # (contiguous, fast axis) yields the exact same integer counts
+            # as the column reduction.
+            blk = max(1, (1 << 17) // max(1, k))
+            R = rs[:, None, None]
+            for c0 in range(0, k, blk):
+                chunk = d[c0 : c0 + blk]
+                counts[:, c0 : c0 + blk] = (chunk[None, :, :] <= R).sum(
+                    axis=2
+                )
             out = np.empty(len(rs))
-            for j, r in enumerate(rs):
-                C = (d <= r).sum(axis=0) / k
+            for j in range(len(rs)):
+                C = counts[j] / k
                 out[j] = np.sum(np.log(C)) / k
             return out
 
