@@ -220,6 +220,142 @@ def test_parameterized_kernels_match_reference_on_default_grids(ref):
     assert bad[:10] == [] and not bad
 
 
+try:
+    from hypothesis import HealthCheck
+    from hypothesis import given
+    from hypothesis import settings as hsettings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _fuzz_series(draw):
+        """Adversarial series the fixed suite doesn't enumerate: arbitrary
+        lengths 0..40, mixed magnitudes, interior NaNs, heavy ties."""
+        n = draw(st.integers(min_value=0, max_value=40))
+        kind = draw(st.sampled_from(["float", "int", "nan", "tied"]))
+        if kind == "int":
+            vals = draw(
+                st.lists(st.integers(-50, 50), min_size=n, max_size=n)
+            )
+        elif kind == "tied":
+            vals = draw(
+                st.lists(st.sampled_from([0, 1, 1, 2]), min_size=n, max_size=n)
+            )
+        else:
+            elem = st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                allow_infinity=False,
+            )
+            if kind == "nan":
+                elem = st.one_of(elem, st.just(float("nan")))
+            vals = draw(st.lists(elem, min_size=n, max_size=n))
+        return np.asarray(vals, dtype=float)
+
+    @given(x=_fuzz_series())
+    @hsettings(
+        max_examples=60,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_parameterless_kernels_match_reference(ref, x):
+        """Hypothesis layer over the side-by-side crosscheck: every
+        dependency-free parameterless kernel must agree with the
+        reference's own code on arbitrary series (same value within 1e-9
+        relative, NaN⇔NaN, or the same exception class).  derandomize
+        keeps the suite deterministic."""
+        from tsfresh_spark.kernels import KERNELS
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for name, info in sorted(KERNELS.items()):
+                if (
+                    name in DEP_GATED
+                    or info.fctype != "simple"
+                    or not info.available
+                ):
+                    continue
+                if len(inspect.signature(info.func).parameters) != 1:
+                    continue
+                rf = getattr(ref, name, None)
+                if rf is None:
+                    continue
+                arr = x.copy()
+                xin = pd.Series(arr) if info.input == "series" else arr
+                try:
+                    mine = info.func(xin)
+                except Exception as ex:
+                    mine = ("RAISE", type(ex).__name__)
+                try:
+                    theirs = rf(x.copy())
+                except Exception as ex:
+                    theirs = ("RAISE", type(ex).__name__)
+                ok = (
+                    mine == theirs
+                    if isinstance(mine, tuple) or isinstance(theirs, tuple)
+                    else _eqv(mine, theirs)
+                )
+                assert ok, (name, len(x), x[:8], mine, theirs)
+
+    _FUZZ_PARAM_GRID = {
+        "quantile": [{"q": 0.1}, {"q": 0.5}, {"q": 0.9}],
+        "autocorrelation": [{"lag": 0}, {"lag": 1}, {"lag": 3}],
+        "c3": [{"lag": 1}, {"lag": 2}],
+        "cid_ce": [{"normalize": True}, {"normalize": False}],
+        "number_peaks": [{"n": 1}, {"n": 3}],
+        "binned_entropy": [{"max_bins": 10}],
+        "large_standard_deviation": [{"r": 0.25}],
+        "symmetry_looking": [{"r": 0.15}],
+        "time_reversal_asymmetry_statistic": [{"lag": 1}],
+        "ratio_beyond_r_sigma": [{"r": 1.0}],
+        "number_crossing_m": [{"m": 0}],
+        "index_mass_quantile": [{"q": 0.5}],
+    }
+
+    @given(x=_fuzz_series())
+    @hsettings(
+        max_examples=40,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_parameterized_kernels_match_reference(ref, x):
+        from tsfresh_spark.kernels import KERNELS
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for name, grid in sorted(_FUZZ_PARAM_GRID.items()):
+                info = KERNELS.get(name)
+                rf = getattr(ref, name, None)
+                if info is None or rf is None or not info.available:
+                    continue
+                arr = x.copy()
+                xin = pd.Series(arr) if info.input == "series" else arr
+                for p in grid:
+                    try:
+                        mine = info.func(xin, **p)
+                    except Exception as ex:
+                        mine = ("RAISE", type(ex).__name__)
+                    try:
+                        theirs = rf(x.copy(), **p)
+                    except Exception as ex:
+                        theirs = ("RAISE", type(ex).__name__)
+                    ok = (
+                        mine == theirs
+                        if isinstance(mine, tuple) or isinstance(theirs, tuple)
+                        else _eqv(mine, theirs)
+                    )
+                    assert ok, (name, p, len(x), x[:8], mine, theirs)
+
+
 @pytest.fixture(scope="module")
 def ref_dfn(ref):
     """The reference's dataframe_functions, loaded standalone (reuses the

@@ -259,11 +259,17 @@ def percentage_of_reoccurring_values_to_all_values(x):
     "percentage_of_reoccurring_datapoints_to_all_datapoints", "simple", input="series"
 )
 def percentage_of_reoccurring_datapoints_to_all_datapoints(x):
-    """#(points whose value reoccurs) / #points (feature_calculators.py:961-988)."""
+    """#(points whose value reoccurs) / #points (feature_calculators.py:961-988).
+
+    The reference counts via ``pd.Series.value_counts()``, which DROPS
+    NaN — so two NaNs are not a reoccurring value (np.unique would
+    collapse them to one value with count 2 since numpy 1.21; found by
+    the hypothesis crosscheck on ``[nan, nan]``).  The divisor stays the
+    FULL length including NaNs, as in the reference."""
     v = np.asarray(x)
     if len(v) == 0:
         return np.nan
-    _, counts = np.unique(v, return_counts=True)
+    _, counts = np.unique(v[~np.isnan(v)], return_counts=True)
     reoccurring = counts[counts > 1].sum()
     return reoccurring / v.size
 
@@ -363,10 +369,30 @@ def benford_correlation(x):
     digits = np.zeros(len(v), dtype=np.int64)
     pos = v > 0
     if pos.any():
-        exp = np.floor(np.log10(v[pos]))
-        lead = np.floor(v[pos] / 10.0**exp)
-        # float log rounding can land exactly on 10 or on 0.99..e+k edges
-        lead = np.clip(lead, 1, 9)
+        vp = v[pos]
+        exp = np.floor(np.log10(vp))
+        # exact-scale quotient: 10**|exp| is an exact double for |exp|<=22,
+        # so q is the correctly-rounded ratio and floor(q) lands on the
+        # leading digit of the value's shortest decimal representation —
+        # the reference's scientific-notation string — for every q in
+        # [1, 10).  The boundary buckets (q < 1 or q >= 10, log10/product
+        # rounding straddling a power of ten: e.g. np.log10(10000.0) =
+        # 3.999…96, or 1e-11 whose exact binary value sits just below the
+        # decimal it round-trips to) and extreme magnitudes (|exp| > 22,
+        # 10**e no longer exact) defer to the reference's own string
+        # formula per element — a blanket clip(…,1,9) here got exact
+        # powers of ten WRONG (digit 9 instead of 1; found by the
+        # hypothesis crosscheck on [10000.0]).
+        e = np.clip(np.abs(exp), 0, 22)
+        with np.errstate(over="ignore"):
+            q = np.where(exp >= 0, vp / 10.0**e, vp * 10.0**e)
+        lead = np.floor(q)
+        slow = (lead < 1) | (lead >= 10) | (np.abs(exp) > 22)
+        if slow.any():
+            lead[slow] = [
+                int(str(np.format_float_scientific(val))[:1])
+                for val in vp[slow]
+            ]
         digits[pos] = lead.astype(np.int64)
     benford = np.log10(1 + 1 / np.arange(1, 10))
     observed = np.array([(digits == d).mean() for d in range(1, 10)])
