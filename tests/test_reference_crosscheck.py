@@ -356,6 +356,61 @@ if _HAVE_HYPOTHESIS:
                     assert ok, (name, p, len(x), x[:8], mine, theirs)
 
 
+if _HAVE_HYPOTHESIS:
+
+    @given(x=_fuzz_series())
+    @hsettings(
+        max_examples=25,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_combiner_kernels_match_reference(ref, x):
+        """Combiner kernels (one call returns the whole grid) against the
+        reference on arbitrary series, full comprehensive parameter grids."""
+        from tsfresh_spark.kernels import KERNELS
+        from tsfresh_spark.settings import comprehensive_settings
+
+        dep = set(DEP_GATED)
+        if "acf(" in inspect.getsource(ref.agg_autocorrelation):
+            dep.add("agg_autocorrelation")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for name, params in sorted(comprehensive_settings().items()):
+                info = KERNELS.get(name)
+                if (
+                    info is None
+                    or not info.available
+                    or name in dep
+                    or info.fctype != "combiner"
+                    or params is None
+                ):
+                    continue
+                rf = getattr(ref, name, None)
+                if rf is None:
+                    continue
+                arr = x.copy()
+                xin = pd.Series(arr) if info.input == "series" else arr
+                try:
+                    mine = dict(info.func(xin, param=params))
+                except Exception as ex:
+                    mine = {"RAISE": type(ex).__name__}
+                try:
+                    theirs = dict(rf(x.copy(), param=params))
+                except Exception as ex:
+                    theirs = {"RAISE": type(ex).__name__}
+                assert set(mine) == set(theirs), (name, len(x), x[:8])
+                for key in theirs:
+                    assert _eqv(mine[key], theirs[key]), (
+                        name,
+                        key,
+                        len(x),
+                        x[:8],
+                        mine[key],
+                        theirs[key],
+                    )
+
+
 @pytest.fixture(scope="module")
 def ref_dfn(ref):
     """The reference's dataframe_functions, loaded standalone (reuses the

@@ -313,20 +313,40 @@ def _friedrich_coefficients(x, m, r):
         return [np.nan] * (m + 1)
     signal = x[:-1]
     delta = np.diff(x)
+    # NaN semantics mirror pandas throughout (hypothesis-crosschecked over
+    # 32k cases): Series.quantile IGNORES NaN signals, groupby drops
+    # NaN-binned rows, and groupby.mean() skips NaN deltas — a bin whose
+    # every delta is NaN falls to the reference's dropna.
+    valid = ~np.isnan(signal)
+    sv = signal[valid]
+    if sv.size == 0:
+        return [np.nan] * (m + 1)
     # np.percentile(·, q*100), NOT np.quantile(·, q): pandas Series.quantile
     # (what pd.qcut calls) routes through nanpercentile with q*100, and the
     # ×100 round-trip shifts edges by ~1 ulp — enough to move points sitting
     # exactly on a quantile into the neighbouring bin.  Verified bit-equal to
     # the reference's pd.qcut path in tests/test_reference_crosscheck.py.
-    edges = np.percentile(signal, np.linspace(0.0, 1.0, r + 1) * 100)
+    edges = np.percentile(sv, np.linspace(0.0, 1.0, r + 1) * 100)
     if len(np.unique(edges)) != len(edges):
         return [np.nan] * (m + 1)
-    bins = np.clip(np.searchsorted(edges, signal, side="left") - 1, 0, r - 1)
-    counts = np.bincount(bins, minlength=r)
+    # pd.qcut formats bin labels via _round_frac(b, precision=3), which
+    # calls np.around(b, digits) with digits ≥ 309 when |b| ≤ 1e-307 —
+    # 10**digits overflows, the label becomes NaN, IntervalIndex raises,
+    # and the reference lands on its ValueError → NaN path (found by the
+    # hypothesis crosscheck on a subnormal-bearing series)
+    nz = edges[edges != 0]
+    with np.errstate(divide="ignore"):
+        if nz.size and np.any(np.floor(np.log10(np.abs(nz))) <= -307):
+            return [np.nan] * (m + 1)
+    bins = np.clip(np.searchsorted(edges, sv, side="left") - 1, 0, r - 1)
+    dv = delta[valid]
+    dok = ~np.isnan(dv)
+    cnt_sig = np.bincount(bins, minlength=r)
+    cnt_del = np.bincount(bins[dok], minlength=r)
     with np.errstate(invalid="ignore"):
-        x_mean = np.bincount(bins, weights=signal, minlength=r) / counts
-        y_mean = np.bincount(bins, weights=delta, minlength=r) / counts
-    keep = counts > 0
+        x_mean = np.bincount(bins, weights=sv, minlength=r) / cnt_sig
+        y_mean = np.bincount(bins[dok], weights=dv[dok], minlength=r) / cnt_del
+    keep = (cnt_sig > 0) & (cnt_del > 0)
     try:
         return np.polyfit(x_mean[keep], y_mean[keep], deg=m)
     except (np.linalg.LinAlgError, ValueError):
