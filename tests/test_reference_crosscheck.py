@@ -234,10 +234,10 @@ except ImportError:  # pragma: no cover
 if _HAVE_HYPOTHESIS:
 
     @st.composite
-    def _fuzz_series(draw):
+    def _fuzz_series(draw, min_size=0):
         """Adversarial series the fixed suite doesn't enumerate: arbitrary
         lengths 0..40, mixed magnitudes, interior NaNs, heavy ties."""
-        n = draw(st.integers(min_value=0, max_value=40))
+        n = draw(st.integers(min_value=min_size, max_value=40))
         kind = draw(st.sampled_from(["float", "int", "nan", "tied"]))
         if kind == "int":
             vals = draw(
@@ -305,22 +305,11 @@ if _HAVE_HYPOTHESIS:
                 )
                 assert ok, (name, len(x), x[:8], mine, theirs)
 
-    _FUZZ_PARAM_GRID = {
-        "quantile": [{"q": 0.1}, {"q": 0.5}, {"q": 0.9}],
-        "autocorrelation": [{"lag": 0}, {"lag": 1}, {"lag": 3}],
-        "c3": [{"lag": 1}, {"lag": 2}],
-        "cid_ce": [{"normalize": True}, {"normalize": False}],
-        "number_peaks": [{"n": 1}, {"n": 3}],
-        "binned_entropy": [{"max_bins": 10}],
-        "large_standard_deviation": [{"r": 0.25}],
-        "symmetry_looking": [{"r": 0.15}],
-        "time_reversal_asymmetry_statistic": [{"lag": 1}],
-        "ratio_beyond_r_sigma": [{"r": 1.0}],
-        "number_crossing_m": [{"m": 0}],
-        "index_mass_quantile": [{"q": 0.5}],
-    }
-
-    @given(x=_fuzz_series())
+    # min_size=1 below: on EMPTY series the reference propagates a
+    # pandas-internal ZeroDivisionError out of change_quantiles' qcut —
+    # an input unreachable through extract_features (groups are never
+    # empty); our kernels return the documented too-short fallback instead
+    @given(x=_fuzz_series(min_size=1))
     @hsettings(
         max_examples=40,
         deadline=None,
@@ -328,18 +317,29 @@ if _HAVE_HYPOTHESIS:
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     def test_fuzz_parameterized_kernels_match_reference(ref, x):
+        """Every dependency-free simple parameterized kernel against the
+        reference on arbitrary series, over its FULL comprehensive grid."""
         from tsfresh_spark.kernels import KERNELS
+        from tsfresh_spark.settings import comprehensive_settings
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            for name, grid in sorted(_FUZZ_PARAM_GRID.items()):
+            for name, params in sorted(comprehensive_settings().items()):
                 info = KERNELS.get(name)
+                if (
+                    info is None
+                    or not info.available
+                    or name in DEP_GATED
+                    or info.fctype != "simple"
+                    or params is None
+                ):
+                    continue
                 rf = getattr(ref, name, None)
-                if info is None or rf is None or not info.available:
+                if rf is None:
                     continue
                 arr = x.copy()
                 xin = pd.Series(arr) if info.input == "series" else arr
-                for p in grid:
+                for p in params:
                     try:
                         mine = info.func(xin, **p)
                     except Exception as ex:
@@ -358,7 +358,7 @@ if _HAVE_HYPOTHESIS:
 
 if _HAVE_HYPOTHESIS:
 
-    @given(x=_fuzz_series())
+    @given(x=_fuzz_series(min_size=1))
     @hsettings(
         max_examples=25,
         deadline=None,

@@ -199,8 +199,16 @@ def change_quantiles(x, ql, qh, isabs, f_agg):
     x = np.asarray(x)
     if len(x) < 2:
         return 0.0
-    lo = np.quantile(x, ql)
-    hi = np.quantile(x, qh)
+    # pd.qcut's corridor edges come from Series.quantile, which IGNORES
+    # NaN (np.quantile would propagate it and empty the corridor — found
+    # by the hypothesis crosscheck on a NaN-bearing series); NaN elements
+    # themselves fall outside the corridor (NaN comparisons are False),
+    # matching qcut's NaN bin
+    finite = x[~np.isnan(x)]
+    if finite.size == 0:
+        return 0.0  # qcut on all-NaN raises → reference returns 0
+    lo = np.quantile(finite, ql)
+    hi = np.quantile(finite, qh)
     if lo == hi:
         return 0.0  # pd.qcut raises on non-unique bin edges → reference returns 0
     inside = (x >= lo) & (x <= hi)
@@ -235,7 +243,11 @@ def change_quantiles_batch(x, param_list):
         {p["ql"] for p in param_list if p["ql"] < p["qh"]}
         | {p["qh"] for p in param_list if p["ql"] < p["qh"]}
     )
-    qcache: dict = dict(zip(uq, np.quantile(x, uq))) if uq else {}
+    # NaN-ignoring quantiles, like the scalar kernel (pandas semantics)
+    finite = x[~np.isnan(x)]
+    if finite.size == 0:
+        return [(name, 0.0) for name in names]
+    qcache: dict = dict(zip(uq, np.quantile(finite, uq))) if uq else {}
     selections: dict = {}
     # np.mean / np.var stripped to their exact internal operation sequence
     # (umr_sum == np.add.reduce, same order ⇒ bit-identical — guarded by
