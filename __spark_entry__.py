@@ -2808,6 +2808,225 @@ def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# augmented_dickey_fuller, FULL AIC-autolag path: the ADF regression family
+# (reference feature_calculators.py:499-544 wrapping statsmodels adfuller
+# with autolag="AIC") oracled end-to-end in generated SQL.  The key
+# identity that makes lag selection SQL-expressible: with the design
+# reordered [level, const, xd_1..xd_k], the Cholesky factor of each
+# candidate's Gram matrix is a PREFIX of the full factor, and
+# ssr_k = y'y − Σ_{i<2+k} w_i² with w = L⁻¹b — so the whole AIC search
+# is ONE Cholesky plus cumulative sums.  The final fit at the chosen lag
+# (its own, longer sample) is a second Cholesky solve with one iterative-
+# refinement step; t = p₀/se₀ with (G⁻¹)₀₀ = ‖L⁻¹e₀‖²; MacKinnon's tau-c
+# polynomials feed the PORTABLE NR-erfc normal tail (the same expression
+# the kernel evaluates — see kernels/model.py:_norm_cdf).  Every
+# expression layer is its own MATERIALIZED CTE: DuckDB expands lateral
+# aliases by substitution, and the Cholesky recursion in one SELECT blows
+# up exponentially (measured >600 s; layered form runs in ~4 s).
+# Measured vs the kernel on all 750 gate series: usedlag exact (min AIC
+# margin 4.7e-3), |Δteststat| ≤ 2.6e-7 (19× inside round(5)),
+# |Δpvalue| ≲ 1e-7 under the shared erfc.  Series are capped at n ≤ 24 on
+# both sides so the static unroll (MAXL = 9) covers every row; n = 3
+# series exercise the too-short → NaN path.
+# ---------------------------------------------------------------------------
+
+
+def _adf_oracle_sql() -> str:
+    MAXL = 9
+    K = MAXL + 2
+    SQRT2 = "1.4142135623730951"
+    LOG2PI = "1.8378770664093453"
+    ERFC_POLY = (
+        "tt * EXP(-ax*ax - 1.26551223 + tt*(1.00002368 + tt*(0.37409196 + "
+        "tt*(0.09678418 + tt*(-0.18628806 + tt*(0.27886807 + tt*(-1.13520398 + "
+        "tt*(1.48851587 + tt*(-0.82215223 + tt*0.17087277)))))))))"
+    )
+
+    def g(tag, i, j):
+        i, j = min(i, j), max(i, j)
+        return f"g{tag}_{i}_{j}"
+
+    class Chain:
+        def __init__(self, first):
+            self.parts = []
+            self.prev = first
+            self.n = 0
+        def layer(self, cols):
+            """cols: dict name->expr; expressions may reference any column of
+            self.prev (all prior layers' columns carried via SELECT *)."""
+            self.n += 1
+            name = f"c{self.n}"
+            sel = ", ".join(f"{e} AS {k}" for k, e in cols.items())
+            self.parts.append(f",\n{name} AS MATERIALIZED (SELECT *, {sel} FROM {self.prev})")
+            self.prev = name
+
+    def gram_cols(tag, start, ml, nb):
+        z0 = f"xs[{start}+1 : {start}+{nb}]"
+        y = f"xd[{start}+1 : {start}+{nb}]"
+        def za(a): return f"xd[{start}-{a}+1 : {start}-{a}+{nb}]"
+        def dot(u, v): return f"list_dot_product({u}, {v})"
+        cols = {
+            f"g{tag}_0_0": dot(z0, z0),
+            f"g{tag}_0_1": f"list_sum({z0})",
+            f"g{tag}_1_1": f"CAST({nb} AS DOUBLE)",
+            f"b{tag}_0": dot(z0, y),
+            f"b{tag}_1": f"list_sum({y})",
+            f"yty{tag}": dot(y, y),
+        }
+        for c in range(2, K):
+            a = c - 1
+            cols[f"g{tag}_0_{c}"] = f"CASE WHEN {a} <= {ml} THEN {dot(z0, za(a))} ELSE 0.0 END"
+            cols[f"g{tag}_1_{c}"] = f"CASE WHEN {a} <= {ml} THEN list_sum({za(a)}) ELSE 0.0 END"
+            cols[f"b{tag}_{c}"] = f"CASE WHEN {a} <= {ml} THEN {dot(za(a), y)} ELSE 0.0 END"
+            for d in range(c, K):
+                b = d - 1
+                if c == d:
+                    cols[f"g{tag}_{c}_{d}"] = f"CASE WHEN {a} <= {ml} THEN {dot(za(a), za(a))} ELSE 1.0 END"
+                else:
+                    cols[f"g{tag}_{c}_{d}"] = f"CASE WHEN {b} <= {ml} THEN {dot(za(a), za(b))} ELSE 0.0 END"
+        return cols
+
+    def chol_layers(ch, tag):
+        for j in range(K):
+            s = " - ".join([g(tag, j, j)] + [f"l{tag}_{j}_{k}*l{tag}_{j}_{k}" for k in range(j)])
+            ch.layer({f"l{tag}_{j}_{j}": f"SQRT({s})"})
+            if j < K - 1:
+                cols = {}
+                for i in range(j + 1, K):
+                    s = " - ".join([g(tag, i, j)] + [f"l{tag}_{i}_{k}*l{tag}_{j}_{k}" for k in range(j)])
+                    cols[f"l{tag}_{i}_{j}"] = f"({s}) / l{tag}_{j}_{j}"
+                ch.layer(cols)
+
+    def fwd_layers(ch, tag, out, rhs):
+        for i in range(K):
+            s = " - ".join([f"({rhs(i)})"] + [f"l{tag}_{i}_{k}*{out}_{k}" for k in range(i)])
+            ch.layer({f"{out}_{i}": f"({s}) / l{tag}_{i}_{i}"})
+
+    def bwd_layers(ch, tag, out, rhs):
+        for i in reversed(range(K)):
+            s = " - ".join([f"({rhs(i)})"] + [f"l{tag}_{k}_{i}*{out}_{k}" for k in range(i + 1, K)])
+            ch.layer({f"{out}_{i}": f"({s}) / l{tag}_{i}_{i}"})
+
+    def matvec(tag, vec, i):
+        return " + ".join(f"{g(tag, i, j)}*{vec}_{j}" for j in range(K))
+
+    def build():
+        head = f"""
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id,
+             ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
+      FROM events
+    ),
+    ser AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LIST(CAST(v AS DOUBLE) ORDER BY ts, event_id) AS xs,
+             COUNT(*) AS n
+      FROM base GROUP BY user_id, event_type
+      HAVING COUNT(*) <= 24
+    ),
+    serv AS MATERIALIZED (
+      SELECT user_id, event_type, xs, n,
+             LEAST(n//2 - 2, CAST(CEIL(12*POWER(n/100.0, 0.25)) AS BIGINT)) AS ml,
+             [xs[i+1] - xs[i] for i in range(1, n)] AS xd,
+             n - 1 - LEAST(n//2 - 2, CAST(CEIL(12*POWER(n/100.0, 0.25)) AS BIGINT)) AS nb
+      FROM ser WHERE n >= 4
+    )"""
+        ch = Chain("serv")
+        ch.layer(gram_cols("s", "ml", "ml", "nb"))
+        chol_layers(ch, "s")
+        fwd_layers(ch, "s", "w", lambda i: f"bs_{i}")
+        aics = []
+        for k in range(2, K + 1):
+            cum = " + ".join(f"w_{i}*w_{i}" for i in range(k))
+            ssr = f"GREATEST(ytys - ({cum}), 1e-300)"
+            llf = f"(-(CAST(nb AS DOUBLE))/2.0) * ({LOG2PI} + LN({ssr}/nb) + 1.0)"
+            aics.append(
+                f"CASE WHEN {k - 2} <= ml THEN (-2.0*({llf}) + 2.0*{k}) ELSE 'infinity'::DOUBLE END"
+            )
+        ch.layer({"aics": f"[{', '.join(aics)}]"})
+        ch.layer({"ul": "list_position(aics, list_min(aics)) - 1"})
+        ch.layer({"nb2": "n - 1 - ul"})
+        ch.layer(gram_cols("f", "ul", "ul", "nb2"))
+        chol_layers(ch, "f")
+        fwd_layers(ch, "f", "wf", lambda i: f"bf_{i}")
+        bwd_layers(ch, "f", "p", lambda i: f"wf_{i}")
+        # one refinement step on p (measured: brings |dt| vs the kernel to
+        # ~2.6e-7 on gate data -> round(5) with 19x margin)
+        ch.layer({f"rp_{i}": f"bf_{i} - ({matvec('f', 'p', i)})" for i in range(K)})
+        fwd_layers(ch, "f", "rfw", lambda i: f"rp_{i}")
+        bwd_layers(ch, "f", "dp", lambda i: f"rfw_{i}")
+        ch.layer({f"p1_{i}": f"p_{i} + dp_{i}" for i in range(K)})
+        # u = G^-1 e0 (unrefined, matches the measured margin)
+        fwd_layers(ch, "f", "v", lambda i: "1.0" if i == 0 else "0.0")
+        bwd_layers(ch, "f", "u", lambda i: f"v_{i}")
+        lagterms = " + ".join(
+            f"CASE WHEN {a} <= ul THEN p1_{a + 1}*xd[ul-{a}+t] ELSE 0.0 END"
+            for a in range(1, MAXL + 1)
+        )
+        resid = f"xd[ul+t] - p1_0*xs[ul+t] - p1_1 - ({lagterms})"
+        ch.layer({"ssrf": f"list_sum([POWER({resid}, 2) for t in range(1, nb2 + 1)])",
+                  "dff": "nb2 - (2 + ul)"})
+        ch.layer({"sigma2": "CASE WHEN dff > 0 THEN ssrf / dff END"})
+        ch.layer({"se0": "SQRT(GREATEST(sigma2 * u_0, 0.0))"})
+        ch.layer({"t0": "CASE WHEN se0 > 0 THEN p1_0 / se0 END"})
+        ch.layer({"poly": (
+            "CASE WHEN t0 <= -1.61 THEN 2.1659 + 1.4412*t0 + 0.038269*POWER(t0, 2) "
+            "ELSE 1.7339 + 0.93202*t0 + -0.12745*POWER(t0, 2) + -0.010368*POWER(t0, 3) END")})
+        ch.layer({"ax": f"ABS(poly/{SQRT2})", "tt": f"1.0/(1.0 + 0.5*ABS(poly/{SQRT2}))"})
+        ch.layer({"pval": (
+            f"CASE WHEN t0 IS NULL OR isnan(t0) THEN NULL "
+            f"WHEN t0 > 2.74 THEN 1.0 WHEN t0 < -18.83 THEN 0.0 "
+            f"ELSE 1.0 - 0.5*(CASE WHEN poly/{SQRT2} >= 0 THEN {ERFC_POLY} "
+            f"ELSE 2.0 - {ERFC_POLY} END) END")})
+        tail = f""",
+    res AS MATERIALIZED (
+      SELECT user_id, event_type, t0, pval, CAST(ul AS DOUBLE) AS ulv FROM {ch.prev}
+    )
+    SELECT s.user_id, s.event_type,
+           s.event_type || '__augmented_dickey_fuller__attr_"teststat"__autolag_"AIC"' AS variable,
+           ROUND(CASE WHEN isnan(t0) THEN NULL ELSE t0 END, 5) + 0.0 AS value
+    FROM ser s LEFT JOIN res r ON s.user_id = r.user_id AND s.event_type = r.event_type
+    UNION ALL
+    SELECT s.user_id, s.event_type,
+           s.event_type || '__augmented_dickey_fuller__attr_"pvalue"__autolag_"AIC"',
+           ROUND(pval, 5) + 0.0
+    FROM ser s LEFT JOIN res r ON s.user_id = r.user_id AND s.event_type = r.event_type
+    UNION ALL
+    SELECT s.user_id, s.event_type,
+           s.event_type || '__augmented_dickey_fuller__attr_"usedlag"__autolag_"AIC"',
+           ROUND(ulv, 5) + 0.0
+    FROM ser s LEFT JOIN res r ON s.user_id = r.user_id AND s.event_type = r.event_type
+    """
+        return head + "".join(ch.parts) + tail
+    return build()
+
+
+def q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir).filter(F.size("tokens") <= 24)
+    feats = extract_features_tokens(
+        toks,
+        {
+            "augmented_dickey_fuller": [
+                {"attr": a, "autolag": "AIC"}
+                for a in ("teststat", "pvalue", "usedlag")
+            ]
+        },
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select(
+        "user_id",
+        "event_type",
+        "variable",
+        (F.round("value", 5) + F.lit(0.0)).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ar_coefficient at k=1: the AutoReg OLS path (intercept + lag-1
 # coefficient) has a textbook closed form — regress x_t on [1, x_{t−1}]
@@ -4014,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lempel_ziv": q_lempel_ziv,
         "friedrich_coefficients": q_friedrich,
         "max_langevin": q_max_langevin,
+        "adf_autolag": q_adf,
         "ar_coefficient_k1": q_ar_k1,
         "stats_sweep": q_stats_sweep,
         "trend_sweep": q_trend_sweep,
@@ -4063,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         "lempel_ziv": _ORACLE_LEMPEL_ZIV,
         "friedrich_coefficients": _friedrich_oracle_sql(),
         "max_langevin": _max_langevin_oracle_sql(),
+        "adf_autolag": _adf_oracle_sql(),
         "ar_coefficient_k1": _ORACLE_AR_K1,
         "stats_sweep": _ORACLE_STATS_SWEEP,
         "trend_sweep": _ORACLE_TREND_SWEEP,

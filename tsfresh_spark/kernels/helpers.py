@@ -194,6 +194,30 @@ def normal_sf(z: float) -> float:
     return 0.5 * math.erfc(z / math.sqrt(2.0))
 
 
+def nr_erfc(x: float) -> float:
+    """Complementary error function via the classic rational Chebyshev
+    approximation (the Numerical Recipes §6.2 form; FRACTIONAL error
+    < 1.2e-7 everywhere, including the deep tail).
+
+    Used instead of ``math.erfc`` wherever a DuckDB correctness oracle
+    must evaluate the IDENTICAL expression (plain +,-,*,/ and one exp):
+    the selection-plane p-values and the ADF MacKinnon tail."""
+    z = abs(x)
+    t = 1.0 / (1.0 + 0.5 * z)
+    ans = t * math.exp(
+        -z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 + t * (0.09678418
+        + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 + t * (1.48851587
+        + t * (-0.82215223 + t * 0.17087277))))))))
+    )
+    return ans if x >= 0 else 2.0 - ans
+
+
+def normal_sf_portable(z: float) -> float:
+    """Standard-normal survival function on the portable erfc — the one
+    normal tail used by every oracle-replicated statistic."""
+    return 0.5 * nr_erfc(z / math.sqrt(2.0))
+
+
 class LinregressResult(NamedTuple):
     slope: float
     intercept: float

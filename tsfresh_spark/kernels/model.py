@@ -169,7 +169,14 @@ _TAU_LARGEP_C = (1.7339, 9.3202e-1, -1.2745e-1, -1.0368e-2)
 
 
 def _norm_cdf(z: float) -> float:
-    return 1.0 - normal_sf(z)
+    # the PORTABLE normal tail (NR-form erfc, fractional error < 1.2e-7),
+    # not math.erfc: the ADF oracle replays the identical expression in
+    # DuckDB, the same contract as the selection plane.  statsmodels'
+    # scipy cdf, libm erfc, and this form all agree to ~1e-7 — far inside
+    # the MacKinnon approximation's own accuracy.
+    from tsfresh_spark.kernels.helpers import normal_sf_portable
+
+    return 1.0 - normal_sf_portable(z)
 
 
 def _mackinnon_pvalue(stat: float) -> float:

@@ -30,31 +30,17 @@ from pyspark.sql import functions as F
 # ------------------------------------------------------------ the statistics
 
 
-def _nr_erfc(x: float) -> float:
-    """Complementary error function via the classic rational Chebyshev
-    approximation (the Numerical Recipes §6.2 form; FRACTIONAL error
-    < 1.2e-7 everywhere, including the deep tail).
-
-    Used here instead of ``math.erfc`` deliberately: it is plain
-    +,-,*,/ and one exp, so the DuckDB correctness oracle
-    (``fresh_relevance`` in ``__spark_entry__.py``) evaluates the IDENTICAL
-    expression and the p-values match bit-for-bit across engines.  The
-    1.2e-7 relative deviation from true erfc is far below any selection
-    decision threshold."""
-    z = abs(x)
-    t = 1.0 / (1.0 + 0.5 * z)
-    ans = t * math.exp(
-        -z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 + t * (0.09678418
-        + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 + t * (1.48851587
-        + t * (-0.82215223 + t * 0.17087277))))))))
-    )
-    return ans if x >= 0 else 2.0 - ans
-
-
-def normal_sf_portable(z: float) -> float:
-    """Standard-normal survival function on the portable erfc — the one
-    normal tail used by every selection-plane statistic."""
-    return 0.5 * _nr_erfc(z / math.sqrt(2.0))
+# The portable erfc lives in kernels/helpers (the ADF MacKinnon tail uses
+# it too); re-exported here under its historical names — it is plain
+# +,-,*,/ and one exp, so the DuckDB correctness oracles (fresh_relevance
+# and the ADF plane in __spark_entry__.py) evaluate the IDENTICAL
+# expression and p-values match bit-for-bit across engines.  The 1.2e-7
+# relative deviation from true erfc is far below any selection decision
+# threshold.
+from tsfresh_spark.kernels.helpers import (  # noqa: E402,F401
+    normal_sf_portable,
+    nr_erfc as _nr_erfc,
+)
 
 
 def _rankdata_average(x: np.ndarray) -> np.ndarray:
