@@ -2810,6 +2810,197 @@ def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# number_cwt_peaks — the LAST calculator: scipy-style CWT peak finding
+# (reference feature_calculators.py:1319-1339) oracled end-to-end.  The
+# Ricker CWT matrix and per-row relative maxima are generated SQL (maxima
+# positions matched numpy on every gate row: zero exact neighbor ties,
+# min nonzero margin 6.9e-4 — ten orders above the ~1e-13 cross-engine
+# convolution noise, so the discrete decisions cannot flip); the
+# inherently sequential ridge-line identification (greedy nearest-line
+# attachment with stale-batch lookup, gap counters, retirement) runs as a
+# RECURSIVE CTE carrying the active-line state as a LIST<STRUCT> column —
+# the same state-machine-in-SQL trick as the Lempel-Ziv oracle; the
+# filter replays the kernel's bounded/edge-clipped sliding-percentile
+# noise floor (numpy lerp branch) and SNR >= 1 test.  Counts matched the
+# kernel 750/750 at sf0.01 during development; integer counts compare
+# bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _cwt_peaks_oracle_sql() -> str:
+    import math
+
+    PI4 = repr(math.pi ** 0.25)
+
+    def mat_cols(max_w=5):
+        cols = []
+        for W in range(1, max_w + 1):
+            npn = f"LEAST({10*W}, n)"
+            wav = (f"[ (2.0/(SQRT(3.0*{W})*{PI4})) * "
+                   f"(1.0 - POWER((k - ({npn}-1)/2.0), 2)/POWER({W}.0,2)) * "
+                   f"EXP(-POWER((k - ({npn}-1)/2.0), 2)/(2.0*POWER({W}.0,2))) "
+                   f"for k in range(0, {npn}) ]")
+            cols.append(f"""
+        [ list_sum([ CASE WHEN k + ({npn}-1)//2 - j + 1 BETWEEN 1 AND {npn}
+                     THEN xs[j+1] * ({wav})[k + ({npn}-1)//2 - j + 1] ELSE 0.0 END
+                     for j in range(0, n) ])
+          for k in range(0, n) ] AS m{W}""")
+        return ",".join(cols)
+
+    def rmax_cols(max_w=5):
+        # 0-based maxima col indices per row; edge clamp makes edges never maxima
+        cols = []
+        for W in range(1, max_w + 1):
+            cols.append(f"""
+        [ i - 1 for i in range(1, n + 1)
+          if i > 1 AND i < n AND m{W}[i] > m{W}[i-1] AND m{W}[i] > m{W}[i+1] ] AS r{W}""")
+        return ",".join(cols)
+
+
+    ST = "STRUCT(lc BIGINT, gap BIGINT, mr BIGINT, fc BIGINT, ln BIGINT)"
+
+    def sx(e, f):
+        return f"struct_extract({e}, '{f}')"
+
+    def _build():
+        mk = lambda lc, gap, mr, fc, ln: f"struct_pack(lc := {lc}, gap := {gap}, mr := {mr}, fc := {fc}, ln := {ln})"
+        diffs = "[abs(tc[i] - p) for p in prev]"
+        matches = (
+            f"[ struct_pack(c := tc[i], li := CASE WHEN len(prev) > 0 AND "
+            f"list_min({diffs}) <= (r+1)/4.0 THEN "
+            f"list_position({diffs}, list_min({diffs})) END) "
+            f"for i in range(1, len(tc)+1) ]"
+        )
+        ac = f"[{sx('m','c')} for m in matches if {sx('m','li')} = j]"
+        updated = (
+            f"[ CASE WHEN len({ac}) > 0 THEN "
+            + mk(f"({ac})[-1]", "0", "r", f"({ac})[1]", f"{sx('lines1[j]','ln')} + len({ac})")
+            + f" ELSE lines1[j] END for j in range(1, len(lines1)+1) ]"
+        )
+        spawned = f"[ {mk(sx('m','c'), '0', 'r', sx('m','c'), '1')} for m in matches if {sx('m','li')} IS NULL ]"
+        # sliding percentile noise at 0-based col c over absm1 (length n)
+        def noise(col):
+            # pure expression (lambda-safe): sorted window percentile with
+            # numpy's lerp branch, all pieces inlined
+            win = (f"(CASE WHEN {col} < half THEN absm1[1 : {col} + half + odd] "
+                   f"WHEN {col} + half + odd > n THEN absm1[{col} - half + 1 : n] "
+                   f"ELSE absm1[{col} - half + 1 : {col} + half + odd] END)")
+            sw = f"list_sort({win})"
+            mw = f"len({win})"
+            h = f"(0.1*({mw} - 1))"
+            lo = f"CAST(FLOOR({h}) AS BIGINT)"
+            t = f"({h} - FLOOR({h}))"
+            a = f"{sw}[{lo} + 1]"
+            b = f"{sw}[LEAST({lo} + 2, {mw})]"
+            return (f"(CASE WHEN {t} < 0.5 THEN {a} + ({b} - {a})*{t} "
+                    f"ELSE {b} - ({b} - {a})*(1 - {t}) END)")
+        sig5 = ("CASE " + " ".join(
+            f"WHEN {sx('l','mr')} = {i} THEN m{i+1}[{sx('l','fc')}+1]" for i in range(5)) + " END")
+        return f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_type, xs, len(xs) AS n FROM series_in
+    ),
+    mat AS (SELECT *, {mat_cols()} FROM s0),
+    rm AS (SELECT *, {rmax_cols()} FROM mat),
+    seeds AS (
+      SELECT *, [r1, r2, r3, r4, r5] AS rml,
+        CASE WHEN len(r5) > 0 THEN 4 WHEN len(r4) > 0 THEN 3 WHEN len(r3) > 0 THEN 2
+             WHEN len(r2) > 0 THEN 1 WHEN len(r1) > 0 THEN 0 END AS srow,
+        [ABS(v) for v in m1] AS absm1,
+        CAST(CEIL(n/20.0) AS BIGINT)//2 AS half,
+        CAST(CEIL(n/20.0) AS BIGINT)%2 AS odd
+      FROM rm
+    ),
+    seeds2 AS (
+      SELECT *, [ {noise('c')} for c in range(0, n) ] AS noisev FROM seeds
+    ),
+    rec AS (
+      SELECT user_id, event_type, rml, srow, CAST(srow - 1 AS BIGINT) AS r,
+        [ {mk('c','0','srow','c','1')} for c in rml[srow+1] ] AS lines,
+        []::{ST}[] AS fin
+      FROM seeds2 WHERE srow IS NOT NULL
+      UNION ALL
+      SELECT user_id, event_type, rml, srow, r - 1,
+        [l for l in (updated || spawned) if {sx('l','gap')} <= 1.0] AS lines,
+        fin || [l for l in (updated || spawned) if {sx('l','gap')} > 1.0] AS fin
+      FROM (
+        SELECT user_id, event_type, rml, srow, r, fin,
+               {updated.replace('lines1', 'LINES1X').replace('matches', 'MATCHESX')} AS updated,
+               {spawned.replace('matches', 'MATCHESX')} AS spawned
+        FROM (
+          SELECT *, {matches.replace('prev', 'PREVX')} AS MATCHESX
+          FROM (
+            SELECT *, [{sx('l','lc')} for l in LINES1X] AS PREVX, rml[r+1] AS tc
+            FROM (
+              SELECT *, [ {mk(sx('l','lc'), sx('l','gap') + ' + 1', sx('l','mr'), sx('l','fc'), sx('l','ln'))} for l in lines ] AS LINES1X
+              FROM rec WHERE r >= 0
+            )
+          )
+        )
+      )
+    ),
+    done AS (
+      SELECT user_id, event_type, fin || lines AS alll FROM rec WHERE r = -1
+    ),
+    counted AS (
+      SELECT d.user_id, d.event_type,
+        len([l for l in alll if {sx('l','ln')} >= 2
+             AND (noisev[{sx('l','fc')}+1] = 0 OR ABS(({sig5}) / noisev[{sx('l','fc')}+1]) >= 1.0)]) AS c5
+      FROM done d JOIN seeds2 USING (user_id, event_type)
+    ),
+    c1t AS (
+      SELECT user_id, event_type,
+        len([c for c in r1 if noisev[c+1] = 0 OR ABS(m1[c+1] / noisev[c+1]) >= 1.0]) AS c1
+      FROM seeds2
+    )
+    SELECT s.user_id, s.event_type,
+           COALESCE(c1t.c1, 0) AS n1, COALESCE(counted.c5, 0) AS n5
+    FROM s0 s
+    LEFT JOIN c1t USING (user_id, event_type)
+    LEFT JOIN counted USING (user_id, event_type)
+    """
+
+    sql = _build()
+    sql = (
+        sql.replace("LINES1X", "lines1")
+        .replace("MATCHESX", "matches")
+        .replace("PREVX", "prev")
+    )
+    series_in = """(
+ SELECT user_id, event_type, LIST(CAST(v AS DOUBLE) ORDER BY ts, event_id) AS xs FROM (
+   SELECT user_id, event_type, ts, event_id,
+          ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v FROM events)
+ GROUP BY 1, 2)"""
+    sql = sql.replace("FROM series_in", "FROM " + series_in)
+    final = """
+SELECT user_id, event_type,
+       event_type || '__number_cwt_peaks__n_1' AS variable,
+       CAST(n1 AS DOUBLE) AS value
+FROM ({body})
+UNION ALL
+SELECT user_id, event_type,
+       event_type || '__number_cwt_peaks__n_5', CAST(n5 AS DOUBLE)
+FROM ({body})
+"""
+    return final.replace("{body}", sql)
+
+
+def q_cwt_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_mod97(spark, sf_dir)
+    feats = extract_features_tokens(
+        toks,
+        {"number_cwt_peaks": [{"n": 1}, {"n": 5}]},
+        id_col="user_id",
+        kind_col="event_type",
+    )
+    return feats.select("user_id", "event_type", "variable", "value")
+
+
 # ---------------------------------------------------------------------------
 # augmented_dickey_fuller, FULL AIC-autolag path: the ADF regression family
 # (reference feature_calculators.py:499-544 wrapping statsmodels adfuller
@@ -4234,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedrich_coefficients": q_friedrich,
         "max_langevin": q_max_langevin,
         "adf_autolag": q_adf,
+        "cwt_peaks": q_cwt_peaks,
         "ar_coefficient_k1": q_ar_k1,
         "stats_sweep": q_stats_sweep,
         "trend_sweep": q_trend_sweep,
@@ -4284,6 +4476,7 @@ def oracle_sql() -> dict[str, str]:
         "friedrich_coefficients": _friedrich_oracle_sql(),
         "max_langevin": _max_langevin_oracle_sql(),
         "adf_autolag": _adf_oracle_sql(),
+        "cwt_peaks": _cwt_peaks_oracle_sql(),
         "ar_coefficient_k1": _ORACLE_AR_K1,
         "stats_sweep": _ORACLE_STATS_SWEEP,
         "trend_sweep": _ORACLE_TREND_SWEEP,
