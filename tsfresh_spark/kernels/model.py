@@ -21,7 +21,7 @@ from tsfresh_spark.kernels.helpers import (
     chunked_aggregate,
     levinson_durbin_pacf,
     linregress_np,
-    normal_sf,
+    normal_sf_portable,
     ols_lstsq,
     sliding_windows,
 )
@@ -174,8 +174,6 @@ def _norm_cdf(z: float) -> float:
     # DuckDB, the same contract as the selection plane.  statsmodels'
     # scipy cdf, libm erfc, and this form all agree to ~1e-7 — far inside
     # the MacKinnon approximation's own accuracy.
-    from tsfresh_spark.kernels.helpers import normal_sf_portable
-
     return 1.0 - normal_sf_portable(z)
 
 
@@ -340,7 +338,11 @@ def _friedrich_coefficients(x, m, r):
     # calls np.around(b, digits) with digits ≥ 309 when |b| ≤ 1e-307 —
     # 10**digits overflows, the label becomes NaN, IntervalIndex raises,
     # and the reference lands on its ValueError → NaN path (found by the
-    # hypothesis crosscheck on a subnormal-bearing series)
+    # hypothesis crosscheck on a subnormal-bearing series).  Deliberate
+    # deviation: when EVERY edge is subnormal the reference instead
+    # crashes (all-NaN labels build a valid IntervalIndex, dropna empties
+    # the frame, polyfit raises an uncaught TypeError); we return NaN
+    # gracefully — the input is unreachable through real extraction
     nz = edges[edges != 0]
     with np.errstate(divide="ignore"):
         if nz.size and np.any(np.floor(np.log10(np.abs(nz))) <= -307):
