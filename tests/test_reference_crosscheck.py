@@ -497,6 +497,68 @@ def test_roll_time_series_matches_reference(spark, ref_dfn, max_ts, min_ts):
     assert got_set == want_set
 
 
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _roll_case(draw):
+        """Irregular multi-series frames + shift bounds + direction, the
+        combinations the fixed roll crosscheck doesn't enumerate."""
+        n_groups = draw(st.integers(1, 3))
+        frames = []
+        for gid in range(1, n_groups + 1):
+            n = draw(st.integers(1, 8))
+            # strictly increasing but gappy times
+            gaps = draw(st.lists(st.integers(1, 3), min_size=n, max_size=n))
+            times = np.cumsum(gaps)
+            vals = draw(st.lists(st.integers(0, 99), min_size=n, max_size=n))
+            frames.append(
+                pd.DataFrame({"id": gid, "time": times, "value": np.asarray(vals, dtype=float)})
+            )
+        pdf = pd.concat(frames, ignore_index=True)
+        # the reference raises an EAGER ValueError on frames with <= 1
+        # total rows — a row-count action has no place in a lazy Spark
+        # plan, so our operator simply emits the (empty/degenerate)
+        # windows; scope the fuzz to the common domain
+        if len(pdf) < 2:
+            pdf = pd.concat([pdf, pdf.assign(time=pdf.time + 1)], ignore_index=True)
+        max_ts = draw(st.sampled_from([None, 1, 2, 4]))
+        min_ts = draw(st.integers(0, 2))
+        direction = draw(st.sampled_from([1, -1]))
+        return pdf, max_ts, min_ts, direction
+
+    @given(case=_roll_case())
+    @hsettings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_roll_time_series_matches_reference(spark, ref_dfn, case):
+        from tsfresh_spark.operators.rolling import roll_time_series
+
+        pdf, max_ts, min_ts, direction = case
+        want = ref_dfn.roll_time_series(
+            pdf.copy(), column_id="id", column_sort="time",
+            max_timeshift=max_ts, min_timeshift=min_ts,
+            rolling_direction=direction, disable_progressbar=True, n_jobs=0,
+        )
+        want_set = {
+            (int(r["id"][0]), int(r["id"][1]), int(r["time"]), float(r["value"]))
+            for _, r in want.iterrows()
+        }
+        got = roll_time_series(
+            spark.createDataFrame(pdf),
+            column_id="id", column_sort="time", column_value="value",
+            max_timeshift=max_ts, min_timeshift=min_ts,
+            rolling_direction=direction,
+        ).toPandas()
+        got_set = {
+            (int(r["id"]["orig"]), int(r["id"]["shift"]), int(r["time"]), float(r["value"]))
+            for _, r in got.iterrows()
+        }
+        assert got_set == want_set, (max_ts, min_ts, direction, pdf.to_dict("list"))
+
+
 def test_impute_range_matches_reference(spark, ref_dfn):
     """Spark impute_dataframe_range == the reference's pandas version on a
     NaN/±inf-bearing matrix with explicit replacement dicts."""
