@@ -160,13 +160,14 @@ def run_audit(
             ("no CartesianProduct", lambda p: "CartesianProduct" not in p),
             ("no BroadcastNestedLoopJoin", lambda p: "BroadcastNestedLoopJoin" not in p),
             (
-                "df-pruning window on the shingle key",
-                lambda p: "Window" in p,
+                "df-pruning via partial-aggregated HashAggregate (map-side combine), not a window over occurrences",
+                lambda p: "HashAggregate" in p,
             ),
         ],
         "Candidates come from an equi-join on the shingle key with the "
         "document-frequency guard (2 ≤ df ≤ max_df) pruning stopword-like "
-        "shingles before the join; exact Jaccard runs on candidates only.",
+        "shingles via groupBy+join (map-side combine; the surviving-shingle "
+        "side is AQE-broadcastable); exact Jaccard runs on candidates only.",
     )
 
     # 6. scan hygiene: filter + projection pushed into the parquet scan

@@ -375,10 +375,19 @@ def ngram_jaccard_duplicates(
         F.size("sh").alias("_sz"),
         F.explode("sh").alias("_shingle"),
     )
-    dfreq = F.count("*").over(Window.partitionBy("_shingle"))
-    kept = inv.withColumn("_df", dfreq).filter(
-        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    # df-pruning via groupBy + join, NOT a window over the exploded table:
+    # the aggregate gets map-side partial combine (the window would shuffle
+    # every shingle OCCURRENCE uncombined), and the surviving-shingle side
+    # (2 <= df <= max_df — unique and stopword-like shingles are gone, so
+    # typically a small fraction of the distinct-shingle set) is exactly
+    # the shape AQE converts to a runtime broadcast join
+    freq = (
+        inv.groupBy("_shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_shingle")
     )
+    kept = inv.join(freq, "_shingle")
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
