@@ -55,7 +55,10 @@ def _cheb_matrices(x: np.ndarray, widths: list[int]):
         w in cached[1] for w in widths
     ):
         return {w: cached[1][w] for w in widths}
-    D = np.abs(x[:, None] - x[None, :])
+    # in-place abs: one fewer 8 MB temporary per series (abs is exact, so
+    # values are bit-identical to the allocating form)
+    D = np.subtract(x[:, None], x[None, :])
+    np.abs(D, out=D)
     out = {}
     d = D
     for w in range(2, max(widths) + 1):
