@@ -380,7 +380,11 @@ def ngram_jaccard_duplicates(
     # every shingle OCCURRENCE uncombined), and the surviving-shingle side
     # (2 <= df <= max_df — unique and stopword-like shingles are gone, so
     # typically a small fraction of the distinct-shingle set) is exactly
-    # the shape AQE converts to a runtime broadcast join
+    # the shape AQE converts to a runtime broadcast join.  At local bench
+    # scale the two forms measure EQUAL (interleaved A/B at 20k docs:
+    # 4.0 s window vs 4.4 s groupBy minimums, same 1020 pairs) — the
+    # combine + broadcastable-side properties are the 100-TB argument,
+    # not a local win
     freq = (
         inv.groupBy("_shingle")
         .agg(F.count("*").alias("_df"))
