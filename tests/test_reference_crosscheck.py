@@ -587,3 +587,56 @@ def test_impute_range_matches_reference(spark, ref_dfn):
     )
     for c in ("a", "b"):
         assert np.allclose(got[c].values, want[c].values)
+
+
+if _HAVE_HYPOTHESIS:
+
+    @st.composite
+    def _impute_case(draw):
+        n = draw(st.integers(1, 10))
+        nan, inf = float("nan"), float("inf")
+        elem = st.one_of(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False,
+                      allow_subnormal=False),
+            st.just(nan), st.just(inf), st.just(-inf),
+        )
+        cols = {}
+        repl = {}
+        for c in ("a", "b"):
+            cols[c] = draw(st.lists(elem, min_size=n, max_size=n))
+            bounds = st.floats(-50, 50, allow_nan=False, allow_infinity=False,
+                               allow_subnormal=False)
+            repl[c] = (draw(bounds), draw(bounds), draw(bounds))
+        return pd.DataFrame(cols), repl
+
+    @given(case=_impute_case())
+    @hsettings(
+        max_examples=15,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_impute_range_matches_reference(spark, ref_dfn, case):
+        """Arbitrary NaN/±inf mixes and arbitrary (min, max, median)
+        replacement triples — including min > max and negative medians —
+        against the reference's pandas impute."""
+        from tsfresh_spark.operators.impute import impute_dataframe_range
+
+        pdf, repl = case
+        col_to_min = {c: repl[c][0] for c in repl}
+        col_to_max = {c: repl[c][1] for c in repl}
+        col_to_median = {c: repl[c][2] for c in repl}
+        want = ref_dfn.impute_dataframe_range(
+            pdf.copy(), col_to_max, col_to_min, col_to_median
+        )
+        ranges = {c: (col_to_min[c], col_to_max[c], col_to_median[c]) for c in repl}
+        got = (
+            impute_dataframe_range(spark.createDataFrame(pdf), ranges)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        for c in repl:
+            g, w = got[c].values, want[c].values
+            assert np.array_equal(g, w) or np.allclose(g, w, equal_nan=True), (
+                c, pdf[c].tolist(), repl[c], g, w
+            )
