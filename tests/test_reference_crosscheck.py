@@ -559,6 +559,46 @@ if _HAVE_HYPOTHESIS:
         assert got_set == want_set, (max_ts, min_ts, direction, pdf.to_dict("list"))
 
 
+@pytest.mark.parametrize("max_ts,min_ts", [(3, 1), (2, 0), (None, 2)])
+def test_make_forecasting_frame_matches_reference(spark, ref_dfn, max_ts, min_ts):
+    """Window membership and target pairing equal the reference's
+    make_forecasting_frame (single series; the reference's mask drops the
+    predicted row from each window, y = the value at the window's end
+    time — exactly our strictly-earlier X / y-at-shift contract)."""
+    from tsfresh_spark.operators.rolling import make_forecasting_frame
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 50, 9).astype(float)
+    want_X, want_y = ref_dfn.make_forecasting_frame(
+        pd.Series(vals, index=range(9)), kind="v",
+        max_timeshift=max_ts, rolling_direction=1, min_timeshift=min_ts,
+    )
+    want_rows = {
+        (int(r["id"][1]), int(r["time"]), float(r["value"]))
+        for _, r in want_X.iterrows()
+    }
+    # reference y is positionally aligned with the masked windows: window
+    # ending at w predicts the value AT w
+    kept_w = sorted({int(r["id"][1]) for _, r in want_X.iterrows()})
+    want_targets = {w: float(vals[w]) for w in kept_w}
+
+    pdf = pd.DataFrame({"id": 1, "t": range(9), "value": vals})
+    X, y = make_forecasting_frame(
+        spark.createDataFrame(pdf), column_id="id", column_sort="t",
+        max_timeshift=max_ts, min_timeshift=min_ts,
+    )
+    Xp, yp = X.toPandas(), y.toPandas()
+    got_rows = {
+        (int(r["id"]["shift"]), int(r["t"]), float(r["value"]))
+        for _, r in Xp.iterrows()
+    }
+    got_targets = {
+        int(r["id"]["shift"]): float(r["y"]) for _, r in yp.iterrows()
+    }
+    assert got_rows == want_rows
+    assert got_targets == want_targets
+
+
 def test_impute_range_matches_reference(spark, ref_dfn):
     """Spark impute_dataframe_range == the reference's pandas version on a
     NaN/±inf-bearing matrix with explicit replacement dicts."""

@@ -86,7 +86,11 @@ def make_forecasting_frame(
     wx = w.rowsBetween(lo, -1)
     base = df.withColumn(
         "_window", F.collect_list(F.struct(column_sort, column_value)).over(wx)
-    ).filter(F.size("_window") >= min_timeshift)
+    ).filter(F.size("_window") >= max(min_timeshift, 1))
+    # the max(..., 1): at min_timeshift=0 the reference still drops the
+    # first observation's pair — its window holds only the predicted row,
+    # which the mask removes, leaving nothing to forecast from
+    # (dataframe_functions.py:656-670; found by the reference crosscheck)
     window_id = F.struct(
         F.col(column_id).alias("orig"), F.col(column_sort).alias("shift")
     ).alias("id")
