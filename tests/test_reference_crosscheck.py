@@ -599,6 +599,39 @@ def test_make_forecasting_frame_matches_reference(spark, ref_dfn, max_ts, min_ts
     assert got_targets == want_targets
 
 
+@pytest.mark.parametrize("sub_length", [2, 3])
+def test_add_sub_time_series_index_matches_reference(spark, ref_dfn, sub_length):
+    """Chunk assignment equals the reference's on pre-sorted input (the
+    reference assigns chunks in the frame's INPUT row order before
+    sorting — an ordering concept Spark frames don't have, so our
+    operator is defined on the sorted order; sorted input is the common,
+    well-defined domain)."""
+    from tsfresh_spark.operators.rolling import add_sub_time_series_index
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "mid": np.repeat([1, 2], [7, 5]),
+            "t": np.concatenate([np.arange(7), np.arange(5)]),
+            "value": rng.randint(0, 9, 12).astype(float),
+        }
+    )
+    want = ref_dfn.add_sub_time_series_index(
+        pdf.copy(), sub_length, column_id="mid", column_sort="t"
+    )
+    want_set = {
+        (int(r["id"][1]), int(r["t"]), int(r["id"][0])) for _, r in want.iterrows()
+    }
+    got = add_sub_time_series_index(
+        spark.createDataFrame(pdf), sub_length, column_id="mid", column_sort="t"
+    ).toPandas()
+    got_set = {
+        (int(r["id"]["orig"]), int(r["t"]), int(r["id"]["chunk"]))
+        for _, r in got.iterrows()
+    }
+    assert got_set == want_set
+
+
 def test_impute_range_matches_reference(spark, ref_dfn):
     """Spark impute_dataframe_range == the reference's pandas version on a
     NaN/±inf-bearing matrix with explicit replacement dicts."""
