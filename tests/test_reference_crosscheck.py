@@ -599,6 +599,84 @@ def test_make_forecasting_frame_matches_reference(spark, ref_dfn, max_ts, min_ts
     assert got_targets == want_targets
 
 
+@pytest.fixture(scope="module")
+def ref_extraction(ref):
+    """The reference's extraction.py loaded standalone: its
+    _do_extraction_on_chunk is the per-series dispatch + naming engine —
+    executing it against compute_series_features checks the FULL
+    chunk-level contract (dispatch, parameter naming grammar, values)."""
+    _stub("tsfresh.defaults", CHUNKSIZE=None, N_PROCESSES=1, PROFILING=False,
+          PROFILING_FILENAME="x", PROFILING_SORTING="cumulative",
+          DISABLE_PROGRESSBAR=True, IMPUTE_FUNCTION=None, SHOW_WARNINGS=False,
+          PARALLELISATION=None)
+    sub = types.ModuleType("tsfresh.feature_extraction")
+    sub.__path__ = [f"{REF_ROOT}/tsfresh/feature_extraction"]
+    sys.modules["tsfresh.feature_extraction"] = sub
+    sys.modules["tsfresh.feature_extraction.feature_calculators"] = ref
+    _stub("tsfresh.feature_extraction.data", to_tsdata=None)
+    _stub("tsfresh.feature_extraction.settings", ComprehensiveFCParameters=None)
+    _stub("tsfresh.utilities.profiling", end_profiling=None, start_profiling=None)
+    _stub("tsfresh.utilities.distribution", ApplyDistributor=None,
+          DistributorBaseClass=None, MapDistributor=None,
+          MultiprocessingDistributor=None)
+    spec = importlib.util.spec_from_file_location(
+        "ref_extraction_mod",
+        f"{REF_ROOT}/tsfresh/feature_extraction/extraction.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+if _HAVE_HYPOTHESIS:
+
+    @given(x=_fuzz_series(min_size=1))
+    @hsettings(
+        max_examples=30,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_chunk_extraction_matches_reference(ref, ref_extraction, x):
+        """END-TO-END chunk contract: compute_series_features (our per-series
+        engine behind both physical extraction strategies) against the
+        reference's own _do_extraction_on_chunk — same dispatch, same
+        feature-name grammar, same values — over a mixed settings dict
+        (parameterless + parameterized + combiner kernels)."""
+        from tsfresh_spark.extract import compute_series_features
+
+        fc = {
+            "mean": None,
+            "length": None,
+            "quantile": [{"q": 0.1}, {"q": 0.9}],
+            "autocorrelation": [{"lag": 1}, {"lag": 2}],
+            "number_peaks": [{"n": 1}],
+            "index_mass_quantile": [{"q": 0.5}],
+            "symmetry_looking": [{"r": 0.25}],
+            "agg_autocorrelation": [{"f_agg": "mean", "maxlag": 5}],
+            "fft_coefficient": [
+                {"coeff": k, "attr": a} for k in (0, 1) for a in ("real", "abs")
+            ],
+            "friedrich_coefficients": [
+                {"m": 3, "r": 5, "coeff": c} for c in range(2)
+            ],
+        }
+        if "acf(" in inspect.getsource(ref.agg_autocorrelation):
+            fc.pop("agg_autocorrelation")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = {
+                name: val
+                for _, name, val in ref_extraction._do_extraction_on_chunk(
+                    (7, "k", pd.Series(x.copy())), fc, None, show_warnings=False
+                )
+            }
+            got = dict(compute_series_features(x.copy(), "k", fc))
+        assert set(got) == set(want), (set(got) ^ set(want), x[:8])
+        for name in want:
+            assert _eqv(got[name], want[name]), (name, x[:8], got[name], want[name])
+
+
 @pytest.mark.parametrize("sub_length", [2, 3])
 def test_add_sub_time_series_index_matches_reference(spark, ref_dfn, sub_length):
     """Chunk assignment equals the reference's on pre-sorted input (the
