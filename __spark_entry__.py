@@ -128,6 +128,27 @@ def q_extract_long_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third physical strategy under the SAME oracle: the Catalyst
+    hybrid engine (extract.py:_extract_tokens_hybrid) evaluates the
+    SQL-coverable calculator subset as built-in array expressions — zero
+    Python for the covered set — and must be bit-identical to the kernel
+    path on integer tokens.  Previously only checksum-equal in pytest
+    (test_hybrid_engine.py); this entry puts it under the driver's
+    DuckDB gate (VERDICT r4 next-round #5)."""
+    from tsfresh_spark.extract import extract_features_tokens
+
+    toks = _events_tokens_longid(spark, sf_dir)
+    settings = {name: None for name in _EXACT_KERNELS}
+    return extract_features_tokens(
+        toks,
+        settings,
+        id_col="user_id",
+        kind_col="event_type",
+        engine="hybrid",
+    )
+
+
 _ORACLE_EXTRACT_KERNELS = f"""
 WITH base AS ({_BASE_SQL}),
 g AS (
@@ -2490,8 +2511,15 @@ FROM final
 # the centered solve agrees to ≤ 7.6e-9 on every coefficient (measured over
 # 1379 series×r cases) — 65× inside the round(6) quantum.
 #
-# Series are de-tied with an EXACT dyadic salt (v + j/128 — 7 fractional
-# bits, all sums stay exact in double): distinct values + the n >= r+2
+# Series are de-tied with an EXACT dyadic salt (v + j/2^20 — v0 needs 7
+# integer bits, j/2^20 adds 20 fractional bits, 27 total ≪ the 52-bit
+# mantissa, so all sums stay exact in double).  The denominator sits above
+# any realistic gate series length (~1M rows), so salted values are unique
+# UNCONDITIONALLY — with the old /128 salt, rows j ≥ 128 could collide
+# across v0 levels (v0=1,j=0 == v0=0,j=128), which at larger scale factors
+# could reintroduce duplicate quantile edges and engage the kernel's
+# qcut-ValueError / rank-deficient-SVD NaN paths that this SQL oracle
+# deliberately cannot express.  Distinct values + the n >= r+2
 # filter guarantee unique quantile edges and all r bins occupied, which
 # keeps the kernel off its two non-SQL-expressible paths (the qcut
 # ValueError → NaN path and polyfit's rank-deficient min-norm SVD path).
@@ -2517,7 +2545,7 @@ def q_friedrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(128.0)).alias(
+        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(1048576.0)).alias(
             "value"
         ),
         F.count("*")
@@ -2677,7 +2705,7 @@ WITH base AS (
 ),
 ord0 AS (
   SELECT user_id, event_type,
-         v0 + (ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1) / 128.0 AS v,
+         v0 + (ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1) / 1048576.0 AS v,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1 AS j,
          COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
   FROM base
@@ -2781,7 +2809,7 @@ def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(128.0)).alias(
+        (F.col("v0") + (F.row_number().over(w) - 1) / F.lit(1048576.0)).alias(
             "value"
         ),
         F.count("*")
@@ -4395,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_kernels_exact": q_extract_kernels,
         "extract_long_grouped": q_extract_long_grouped,
+        "extract_hybrid": q_extract_hybrid,
         "stats_sql_fastpath": q_stats_sql,
         "array_features_ordered": q_array_features,
         "longest_strike": q_longest_strike,
@@ -4446,6 +4475,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_kernels_exact": _ORACLE_EXTRACT_KERNELS,
         "extract_long_grouped": _ORACLE_EXTRACT_KERNELS,
+        "extract_hybrid": _ORACLE_EXTRACT_KERNELS,
         "stats_sql_fastpath": _ORACLE_STATS_SQL,
         "array_features_ordered": _ORACLE_ARRAY_FEATURES,
         "longest_strike": _ORACLE_LONGEST_STRIKE,
