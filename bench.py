@@ -62,6 +62,7 @@ def ann_quality(spark, sf_dir: str) -> dict:
     plus their wall times (single pass; the recall numbers are exact and
     deterministic, only the timing is environmental)."""
     from tsfresh_spark.operators.similarity import (
+        cosine_topk,
         cosine_topk_bruteforce,
         cosine_topk_ivf,
         cosine_topk_lsh,
@@ -93,14 +94,22 @@ def ann_quality(spark, sf_dir: str) -> dict:
         )
     )
     out["cosine_topk_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    # the auto front door: below the 100k-row threshold it must route to
+    # brute force, so auto ≈ brute + a bounded probe — the crossover
+    # evidence VERDICT r4 #3 asked the bench to carry
+    t0 = time.perf_counter()
+    auto = pairs(cosine_topk(emb, queries, k=3, strategy="auto"))
+    out["cosine_topk_auto_sec"] = round(time.perf_counter() - t0, 3)
     # guard: an sf dir with no vec_id < 32 yields an empty exact set —
     # emit null recalls rather than killing the run after all timings
     if exact:
         out["ivf_recall_at_3"] = round(len(exact & ivf) / len(exact), 4)
         out["lsh_recall_at_3"] = round(len(exact & lsh) / len(exact), 4)
+        out["auto_recall_at_3"] = round(len(exact & auto) / len(exact), 4)
     else:
         out["ivf_recall_at_3"] = None
         out["lsh_recall_at_3"] = None
+        out["auto_recall_at_3"] = None
     spark.catalog.clearCache()
     return out
 

@@ -287,3 +287,31 @@ def test_embedding_near_duplicates(spark, vectors):
     # cap=3 per bucket → at most C(3,2)=3 pairs per (table, bucket); with
     # 1 plane there are 2 buckets → ≤ 6 candidate pairs survive
     assert len(capped) <= 6
+
+
+def test_cosine_topk_auto_strategy(spark, vectors):
+    """strategy='auto' brute-forces below the threshold (bit-identical to
+    the exact scorer) and switches to IVF above it (VERDICT r4 #3)."""
+    from tsfresh_spark.operators.similarity import cosine_topk
+
+    queries = vectors.filter(F.col("vec_id") % 6 == 0)
+    exact = cosine_topk_bruteforce(vectors, queries, k=3).toPandas()
+
+    # 48 vectors < default threshold → exact path, identical frame
+    auto = cosine_topk(vectors, queries, k=3).toPandas()
+    key = ["qid", "nid"]
+    pd_exact = exact.sort_values(key).reset_index(drop=True)
+    pd_auto = auto.sort_values(key).reset_index(drop=True)
+    assert pd_exact.equals(pd_auto)
+
+    # force the scale path with a tiny threshold → IVF, k rows per query,
+    # every surviving score identical to the exact scorer's
+    approx = cosine_topk(
+        vectors, queries, k=3, brute_force_threshold=10, n_lists=8, n_probe=8
+    ).toPandas()
+    assert (approx.groupby("qid").size() == 3).all()
+    merged = approx.merge(exact, on=key, suffixes=("_a", "_e"))
+    assert (merged.sim_a == merged.sim_e).all()
+
+    with pytest.raises(ValueError, match="strategy"):
+        cosine_topk(vectors, queries, k=3, strategy="nope")
