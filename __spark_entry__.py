@@ -4404,6 +4404,97 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# streaming plane under the driver gate (VERDICT r4 next-round #7): the
+# events table replayed as a bounded file-source stream through
+# windowed_feature_stream, parquet sink, one availableNow trigger — then the
+# sink read back as a batch frame for the DuckDB comparison.  Append-mode
+# event-time semantics pin which windows exist: a window emits iff the final
+# watermark (max event ts, 0s delay) has passed its END, so the oracle keeps
+# exactly the windows with window_start + 1h <= max(ts).  Features are the
+# order-insensitive exact-integer kernel set, so collect_list order inside a
+# window cannot matter and the match is bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    _prep(spark)
+    from tsfresh_spark.streaming.stream_extract import windowed_feature_stream
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a DIRECTORY basePath; the testdata table
+    # is a single read-only file, so stage a symlink dir (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="tsf_stream_src_")
+    import os as _os
+
+    _os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            "event_type",
+            # the table stores TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+            # with the session pinned to UTC (see _prep) the cast is exact
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    feats = windowed_feature_stream(
+        stream,
+        {name: None for name in _EXACT_KERNELS},
+        id_cols=["user_id", "event_type"],
+        window="1 hour",
+        watermark="0 seconds",
+    )
+    long_form = feats.select(
+        "user_id",
+        "event_type",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.explode("features").alias("variable", "value"),
+    )
+    sink = tempfile.mkdtemp(prefix="tsf_stream_gate_")
+    q = (
+        long_form.writeStream.format("parquet")
+        .option("path", f"{sink}/data")
+        .option("checkpointLocation", f"{sink}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{sink}/data")
+
+
+_ORACLE_STREAM_WINDOWED = f"""
+WITH base AS ({_BASE_SQL}),
+mx AS (SELECT MAX(ts) AS mt FROM base),
+g AS (
+  SELECT user_id, event_type, DATE_TRUNC('hour', ts) AS window_start,
+         COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss,
+         MIN(v) AS mn, MAX(v) AS mx2, MEDIAN(v) AS med
+  FROM base GROUP BY user_id, event_type, DATE_TRUNC('hour', ts)
+),
+closed AS (
+  SELECT g.* FROM g, mx WHERE g.window_start + INTERVAL 1 HOUR <= mx.mt
+)
+SELECT user_id, event_type, window_start, event_type || '__length' AS variable, CAST(n AS DOUBLE) AS value FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__sum_values', CAST(s AS DOUBLE) FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__minimum', CAST(mn AS DOUBLE) FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__maximum', CAST(mx2 AS DOUBLE) FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__absolute_maximum', GREATEST(ABS(CAST(mn AS DOUBLE)), ABS(CAST(mx2 AS DOUBLE))) FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__mean', CAST(s AS DOUBLE) / n FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__median', med FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__abs_energy', CAST(ss AS DOUBLE) FROM closed
+UNION ALL SELECT user_id, event_type, window_start, event_type || '__root_mean_square', SQRT(CAST(ss AS DOUBLE) / n) FROM closed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: shuffle-free kernel extraction (minimal set) over the tokens
     table derived from sf0.001 events."""
@@ -4468,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timewise_trend_hourly": q_timewise_trend,
         "fresh_relevance": q_fresh_relevance,
         "embedding_near_dups": q_embedding_near_dups,
+        "stream_windowed_features": q_stream_windowed,
     }
 
 
@@ -4520,4 +4612,5 @@ def oracle_sql() -> dict[str, str]:
         "timewise_trend_hourly": _ORACLE_TIMEWISE_TREND,
         "fresh_relevance": _ORACLE_FRESH_RELEVANCE,
         "embedding_near_dups": _embedding_neardup_oracle_sql(),
+        "stream_windowed_features": _ORACLE_STREAM_WINDOWED,
     }
