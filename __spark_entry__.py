@@ -4111,8 +4111,10 @@ CROSS JOIN types ty WHERE ty.type = 'constant'
 # q27: embedding-cosine near-dup — the semantic dedup flavor.  The
 # hyperplane family is a deterministic hash mix whose exact float64 values
 # embed as literals on BOTH sides, so the full pipeline (multi-table
-# sign-LSH buckets, hot-bucket cap, candidate join, cosine verify) replays
-# in DuckDB.
+# sign-LSH buckets, hot-bucket cap, candidate join, the round-5
+# signature-hamming pre-filter, cosine verify) replays in DuckDB.  The
+# hamming cutoff is an integer computed ONCE in Python
+# (signature_hamming_cutoff) and embedded as a literal in both engines.
 # ---------------------------------------------------------------------------
 
 _EMB_DIM = 64
@@ -4120,6 +4122,7 @@ _EMB_PLANES = 3
 _EMB_TABLES = 8
 _EMB_CAP = 64
 _EMB_THRESHOLD = 0.35
+_EMB_SIG_BITS = 126  # 2 × 63-bit words — bit 63 never set on either engine
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4136,6 +4139,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=_EMB_PLANES,
         num_tables=_EMB_TABLES,
         max_bucket_size=_EMB_CAP,
+        signature_bits=_EMB_SIG_BITS,
     )
     return out.select(
         F.col("id_a").cast("long"),
@@ -4145,6 +4149,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_neardup_oracle_sql() -> str:
+    from tsfresh_spark.operators.dedup import (
+        _SIG_BITS_PER_WORD,
+        _SIG_PLANE_BASE,
+        signature_hamming_cutoff,
+    )
     from tsfresh_spark.operators.similarity import _hyperplane
 
     tables = []
@@ -4155,10 +4164,27 @@ def _embedding_neardup_oracle_sql() -> str:
             f"THEN {1 << p} ELSE 0 END)"
             for p in range(_EMB_PLANES)
         )
-        tables.append(f"SELECT id, emb, {t} AS tbl, {bits} AS bkt FROM e")
+        tables.append(f"SELECT id, {t} AS tbl, {bits} AS bkt FROM e")
     keys_sql = "\nUNION ALL ".join(tables)
+    # signature words: same 63-bit packing as _signature_words, dedicated
+    # plane family at _SIG_PLANE_BASE
+    word_exprs = []
+    for wi, w in enumerate(range(0, _EMB_SIG_BITS, _SIG_BITS_PER_WORD)):
+        bits = " + ".join(
+            f"(CASE WHEN LIST_DOT_PRODUCT(emb, "
+            f"{_hyperplane(_EMB_DIM, _SIG_PLANE_BASE + p)!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << (p - w)} ELSE 0 END)"
+            for p in range(w, min(w + _SIG_BITS_PER_WORD, _EMB_SIG_BITS))
+        )
+        word_exprs.append(f"({bits})::BIGINT AS s{wi}")
+    n_words = len(word_exprs)
+    hamming = " + ".join(
+        f"bit_count(xor(sa.s{i}, sb.s{i}))" for i in range(n_words)
+    )
+    h_max = signature_hamming_cutoff(_EMB_THRESHOLD, _EMB_SIG_BITS, 5.0)
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+sigs AS (SELECT id, {', '.join(word_exprs)} FROM e),
 keys AS (
 {keys_sql}
 ),
@@ -4173,12 +4199,17 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id
 ),
+surv AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+  WHERE {hamming} <= {h_max}
+),
 pairs AS (
   SELECT c.id_a, c.id_b,
          ROUND(LIST_DOT_PRODUCT(ea.emb, eb.emb)
                / (SQRT(LIST_DOT_PRODUCT(ea.emb, ea.emb))
                   * SQRT(LIST_DOT_PRODUCT(eb.emb, eb.emb))), 6) AS cosine
-  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+  FROM surv c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_EMB_THRESHOLD}
 """

@@ -220,33 +220,56 @@ def near_dup_scale(spark, sf: float) -> dict | None:
     }
     docs.unpersist()
 
-    # embedding sign-LSH: threshold −1 keeps every bucketed candidate, so
-    # the same single-aggregate trick applies (verified = cosine ≥ 0.9)
+    # embedding sign-LSH: one production-shaped candidate job, aggregated
+    # on BOTH sides of the round-5 signature-hamming pre-filter — bucket
+    # pairs (round-4's "candidates"), hamming survivors (what now reaches
+    # exact cosine), and verified pairs (cosine ≥ 0.9 among survivors).
+    # num_planes comes from derive_num_planes(n) — the production default.
+    from tsfresh_spark.operators.dedup import (
+        derive_num_planes,
+        embedding_candidate_pairs,
+        signature_hamming_cutoff,
+    )
+    from tsfresh_spark.operators.similarity import _cosine
+
     emb = embeddings_corpus(spark, n_docs, dim=32, n_partitions=cpus * 4).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     emb.count()
+    planes = derive_num_planes(n_docs)
+    h_max = signature_hamming_cutoff(0.9, 126)
     t0 = time.perf_counter()
+    surv = F.col("hamming") <= F.lit(h_max)
     row = (
-        embedding_near_duplicates(
+        embedding_candidate_pairs(
             emb,
             dim=32,
-            threshold=-1.0,
-            num_planes=16,
+            num_planes=planes,
             num_tables=4,
             max_bucket_size=1024,
         )
         .agg(
-            F.count("*").alias("c"),
-            F.count_if(F.col("cosine") >= 0.9).alias("v"),
+            F.count("*").alias("bucket_pairs"),
+            F.count_if(surv).alias("survivors"),
+            F.count_if(
+                surv & (_cosine(F.col("emb_a"), F.col("emb_b")) >= 0.9)
+            ).alias("v"),
         )
         .collect()[0]
     )
     out["embedding"] = {
         "sec": round(time.perf_counter() - t0, 3),
-        "candidate_pairs": row["c"],
+        "num_planes": planes,
+        "hamming_cutoff": h_max,
+        "bucket_pairs": row["bucket_pairs"],
+        "candidate_pairs": row["survivors"],
         "verified_pairs": row["v"],
-        "candidate_frac_of_n2": round(row["c"] / out["possible_pairs"], 8),
+        "candidate_frac_of_n2": round(
+            row["survivors"] / out["possible_pairs"], 10
+        ),
+        "bucket_frac_of_n2": round(
+            row["bucket_pairs"] / out["possible_pairs"], 10
+        ),
     }
     emb.unpersist()
     spark.catalog.clearCache()

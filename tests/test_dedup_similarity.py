@@ -289,6 +289,101 @@ def test_embedding_near_duplicates(spark, vectors):
     assert len(capped) <= 6
 
 
+def test_derive_num_planes_rule():
+    """Bucket-width derivation: mean occupancy ≈ target, clamped; the 200k
+    case pins the round-4-telemetry-validated config (16 planes)."""
+    from tsfresh_spark.operators.dedup import derive_num_planes
+
+    assert derive_num_planes(200_000) == 16
+    assert derive_num_planes(200_000, target_bucket_size=4) == 16
+    assert derive_num_planes(10) == 4  # lo clamp
+    assert derive_num_planes(10**12) == 24  # hi clamp
+    # monotone in n, inverse-monotone in target
+    assert derive_num_planes(1_000_000) >= derive_num_planes(1_000)
+    assert derive_num_planes(200_000, target_bucket_size=64) <= 16
+
+
+def test_signature_hamming_cutoff_props():
+    """Cutoff = floor(B·p + 5σ) with p = acos(t)/π; must sit strictly
+    between the at-threshold mean and the random-pair mean B/2 for high
+    thresholds so the filter separates true pairs from bucket noise."""
+    import math
+
+    from tsfresh_spark.operators.dedup import signature_hamming_cutoff
+
+    B = 126
+    for t in (0.99, 0.95, 0.9, 0.8):
+        p = math.acos(t) / math.pi
+        c = signature_hamming_cutoff(t, B)
+        assert B * p <= c < B * 0.5, (t, c)
+    # degenerate ends stay in range
+    assert signature_hamming_cutoff(-1.0, B) == B  # p=1 → keep everything
+    assert 0 <= signature_hamming_cutoff(1.0, B) <= B
+
+
+def test_embedding_prefilter_recall_parity(spark, vectors):
+    """The 5σ signature-hamming pre-filter must not change the verified
+    pair set on clustered data — identical output with the filter on
+    (signature_bits=126, default) and off (signature_bits=0, the round-4
+    behavior)."""
+    from tsfresh_spark.operators.dedup import embedding_near_duplicates
+
+    kw = dict(dim=16, threshold=0.8, num_planes=2, num_tables=6)
+    on = embedding_near_duplicates(vectors, **kw).toPandas()
+    off = embedding_near_duplicates(
+        vectors, signature_bits=0, **kw
+    ).toPandas()
+    key = ["id_a", "id_b"]
+    assert on.sort_values(key).reset_index(drop=True).equals(
+        off.sort_values(key).reset_index(drop=True)
+    )
+    assert len(on) > 0
+
+
+def test_embedding_candidate_pairs_hamming_separation(spark, vectors):
+    """Telemetry surface: same-cluster candidate pairs carry systematically
+    lower signature hamming than cross-cluster ones (the separation the
+    pre-filter exploits), and the production cutoff keeps ~all same-cluster
+    pairs."""
+    from tsfresh_spark.operators.dedup import (
+        embedding_candidate_pairs,
+        signature_hamming_cutoff,
+    )
+
+    cand = embedding_candidate_pairs(
+        vectors, dim=16, num_planes=2, num_tables=6
+    ).toPandas()
+    labels = vectors.toPandas().set_index("vec_id").label
+    cand["same"] = [
+        labels[a] == labels[b] for a, b in zip(cand.id_a, cand.id_b)
+    ]
+    same = cand[cand.same]
+    cross = cand[~cand.same]
+    assert len(same) > 0 and len(cross) > 0
+    assert same.hamming.mean() < cross.hamming.mean()
+    cutoff = signature_hamming_cutoff(0.8, 126)
+    assert (same.hamming <= cutoff).mean() >= 0.99
+
+
+def test_embedding_bucket_report(spark, vectors):
+    """Saturation report: empty when buckets fit the cap, and surfaces
+    every over-cap bucket (with its true size) when the cap is tiny."""
+    from tsfresh_spark.operators.dedup import embedding_bucket_report
+
+    ok = embedding_bucket_report(
+        vectors, dim=16, num_planes=2, num_tables=4, max_bucket_size=1024
+    ).toPandas()
+    assert len(ok) == 0  # 48 vectors can never exceed 1024 anywhere
+
+    hot = embedding_bucket_report(
+        vectors, dim=16, num_planes=1, num_tables=1, max_bucket_size=10
+    ).toPandas()
+    # 48 rows across 2 buckets (1 plane) → at least one bucket holds ≥ 24
+    assert len(hot) >= 1
+    assert (hot.bucket_size > 10).all()
+    assert hot.bucket_size.sum() <= 48
+
+
 def test_cosine_topk_auto_strategy(spark, vectors):
     """strategy='auto' brute-forces below the threshold (bit-identical to
     the exact scorer) and switches to IVF above it (VERDICT r4 #3)."""

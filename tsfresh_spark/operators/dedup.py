@@ -630,36 +630,117 @@ def simhash_near_duplicates(
 # --------------------------------------------------------------------------
 
 
-def embedding_near_duplicates(
+# Signature planes live in their own hash-mix family far above any bucket
+# plane index, so signature bits are independent of the bucket bits (a
+# bucket collision fixes the bucket-plane signs; overlapping families would
+# shift the hamming distribution of random in-bucket pairs downward and
+# blunt the pre-filter).
+_SIG_PLANE_BASE = 10_000
+_SIG_BITS_PER_WORD = 63  # keep bit 63 clear: both engines stay in positive
+# signed-long territory, no two's-complement shift edge to mirror
+
+
+def derive_num_planes(
+    n_rows: int, *, target_bucket_size: int = 4, lo: int = 4, hi: int = 24
+) -> int:
+    """Bucket-width rule for sign-LSH dedup: ``ceil(log2(n / target))``
+    clamped to [lo, hi].  The right target is a SMALL mean occupancy (~4) —
+    recall comes from OR-amplification across tables and the hamming
+    pre-filter does the precision work; sizing buckets near the hot-bucket
+    cap (e.g. 1024) would put every pair of a saturated bucket into the
+    candidate set and recall silently collapses once every bucket caps out
+    (the round-4 failure mode this derivation exists to prevent).  At 200k
+    docs this yields 16 planes — exactly the config the round-4 telemetry
+    measured as sound."""
+    import math
+
+    n_rows = max(int(n_rows), 2)
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
+def signature_hamming_cutoff(
+    threshold: float, signature_bits: int, margin: float = 5.0
+) -> int:
+    """Max admissible signature hamming distance for a pair at ``cosine >=
+    threshold``: sign bits disagree with probability p = acos(threshold)/π,
+    so a true at-threshold pair has hamming ~ Binomial(B, p); the cutoff is
+    ``floor(B·p + margin·sqrt(B·p(1−p)))``.  At margin 5σ the per-pair
+    false-drop probability is ~3e-7 (recall is untouched in expectation
+    even across millions of true pairs) while a random orthogonal pair
+    (p = 0.5) passes with probability ~1e-6 — the filter removes ~all
+    non-duplicate bucket collisions before any exact cosine is computed.
+    Computed in PYTHON once so the SQL oracle embeds the identical integer
+    literal — no float divergence across engines."""
+    import math
+
+    p = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    mean = signature_bits * p
+    sd = math.sqrt(signature_bits * p * (1.0 - p))
+    return min(signature_bits, int(math.floor(mean + margin * sd)))
+
+
+def _signature_words(vec_col, dim: int, signature_bits: int):
+    """array<long> of 63-bit sign-signature words from the dedicated
+    signature plane family."""
+    from tsfresh_spark.operators.similarity import _dot, _hyperplane
+
+    words = []
+    for w in range(0, signature_bits, _SIG_BITS_PER_WORD):
+        bits = F.lit(0).cast("long")
+        for p in range(w, min(w + _SIG_BITS_PER_WORD, signature_bits)):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, _SIG_PLANE_BASE + p)]
+            )
+            sign_bit = (_dot(vec_col, plane) > 0).cast("long")
+            bits = bits.bitwiseOR(F.shiftleft(sign_bit, p - w))
+        words.append(bits)
+    return F.array(*words)
+
+
+def _sig_hamming(a, b, n_words: int):
+    h = F.lit(0).cast("long")
+    for i in range(n_words):
+        h = h + F.bit_count(a.getItem(i).bitwiseXOR(b.getItem(i)))
+    return h
+
+
+def embedding_candidate_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int,
     threshold: float = 0.9,
-    num_planes: int = 3,
+    num_planes: int | None = None,
     num_tables: int = 8,
     max_bucket_size: int | None = None,
-    round_digits: int | None = 6,
+    signature_bits: int = 126,
+    hamming_margin: float = 5.0,
+    target_bucket_size: int = 4,
 ) -> DataFrame:
-    """Semantic near-duplicate pairs: ``(id_a, id_b, cosine)`` with
-    ``cosine >= threshold`` among vectors that share a sign-LSH bucket in at
-    least one of ``num_tables`` tables.
+    """Candidate stage of :func:`embedding_near_duplicates`, exposed for
+    telemetry: ``(id_a, id_b, emb_a, emb_b, hamming)`` — every deduplicated
+    bucket-join pair with its signature hamming distance, NOT yet
+    hamming-filtered.  ``hamming <= signature_hamming_cutoff(...)`` is the
+    production pre-filter predicate; counting rows on both sides of it in
+    one aggregate gives bucket-pair and candidate telemetry in a single
+    production-shaped job (cf. bench.near_dup_scale)."""
+    from tsfresh_spark.operators.similarity import _lsh_keys
 
-    The scale shape mirrors :func:`minhash_near_duplicates`: candidate
-    generation is a self-join on (table, bucket) keys — never all-pairs —
-    with the same deterministic ``max_bucket_size`` hot-bucket cap
-    (row_number by id), then exact cosine verification on the candidate
-    pairs only.  The hyperplanes are the deterministic hash-mix family from
-    operators/similarity.py, so the WHOLE pipeline (buckets, caps, join,
-    verify) replays in any SQL engine — DuckDB is the correctness oracle.
-    """
-    from tsfresh_spark.operators.similarity import _cosine, _lsh_keys
-
+    if num_planes is None:
+        # one cheap count job at plan time; pass num_planes explicitly to
+        # keep the operator fully lazy
+        num_planes = derive_num_planes(
+            df.count(), target_bucket_size=target_bucket_size
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
+    if signature_bits:
+        base = base.withColumn(
+            "sig", _signature_words(F.col("emb"), dim, signature_bits)
+        )
     keyed = base.withColumn(
         "key", F.explode(_lsh_keys("emb", dim, num_planes, num_tables))
     )
@@ -670,17 +751,131 @@ def embedding_near_duplicates(
             .filter(F.col("rn") <= max_bucket_size)
             .drop("rn")
         )
+    side = ["id", "emb"] + (["sig"] if signature_bits else [])
     a = keyed.select(
-        F.col("id").alias("id_a"), F.col("emb").alias("emb_a"), "key"
+        *[F.col(c).alias(f"{c}_a") for c in side], "key"
     )
     b = keyed.select(
-        F.col("id").alias("id_b"), F.col("emb").alias("emb_b"), "key"
+        *[F.col(c).alias(f"{c}_b") for c in side], "key"
     )
     cand = (
         a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if signature_bits:
+        n_words = (signature_bits + _SIG_BITS_PER_WORD - 1) // _SIG_BITS_PER_WORD
+        hamming = _sig_hamming(F.col("sig_a"), F.col("sig_b"), n_words)
+    else:
+        hamming = F.lit(0).cast("long")
+    return cand.select("id_a", "id_b", "emb_a", "emb_b", hamming.alias("hamming"))
+
+
+def embedding_bucket_report(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    max_bucket_size: int = 1024,
+    target_bucket_size: int = 4,
+) -> DataFrame:
+    """Buckets that SATURATE the hot-bucket cap: ``(tbl, bkt, bucket_size)``
+    with ``bucket_size > max_bucket_size``.  A capped bucket silently drops
+    ``bucket_size − max_bucket_size`` rows from candidate generation, i.e.
+    recall loss the pair counts alone cannot show — run this report (or
+    watch its count in bench telemetry) whenever the cap is in play, and
+    raise ``num_planes`` if it returns rows."""
+    from tsfresh_spark.operators.similarity import _lsh_keys
+
+    if num_planes is None:
+        num_planes = derive_num_planes(
+            df.count(), target_bucket_size=target_bucket_size
+        )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _lsh_keys(
+                F.col(vec_col).cast("array<double>"), dim, num_planes, num_tables
+            )
+        ).alias("key"),
+    )
+    return (
+        keyed.groupBy("key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .select(
+            F.col("key.tbl").alias("tbl"),
+            F.col("key.bkt").alias("bkt"),
+            "bucket_size",
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    max_bucket_size: int | None = None,
+    round_digits: int | None = 6,
+    signature_bits: int = 126,
+    hamming_margin: float = 5.0,
+    target_bucket_size: int = 4,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: ``(id_a, id_b, cosine)`` with
+    ``cosine >= threshold`` among vectors that share a sign-LSH bucket in at
+    least one of ``num_tables`` tables AND pass the signature-hamming
+    pre-filter.
+
+    The scale shape mirrors :func:`minhash_near_duplicates`: candidate
+    generation is a self-join on (table, bucket) keys — never all-pairs —
+    with the same deterministic ``max_bucket_size`` hot-bucket cap
+    (row_number by id).  Two round-5 hardenings close the round-4 weak spot
+    (4.68M exact-cosine evals for 9,749 pairs at 200k docs):
+
+    * ``num_planes=None`` derives the bucket width from the corpus size
+      (:func:`derive_num_planes` — mean occupancy ~``target_bucket_size``),
+      so a fixed plane count can no longer saturate every bucket at scale.
+    * a ``signature_bits``-bit sign signature (dedicated plane family,
+      63-bit long words) is XOR/bit_count-compared per bucket pair and only
+      pairs with hamming ≤ :func:`signature_hamming_cutoff` reach the exact
+      cosine — the same pigeonhole trick the simhash pipeline uses, cutting
+      exact-cosine work by ~3 orders of magnitude at 200k docs while the
+      5σ margin keeps expected recall loss < 1e-6 per true pair.
+      ``signature_bits=0`` disables the pre-filter (the round-4 behavior).
+
+    All stages (hash-mix planes, caps, join, hamming cutoff, verify) are
+    deterministic and replay in any SQL engine — DuckDB is the correctness
+    oracle.  When ``max_bucket_size`` is set, check
+    :func:`embedding_bucket_report` for saturated buckets: capped buckets
+    drop rows from candidate generation silently."""
+    from tsfresh_spark.operators.similarity import _cosine
+
+    cand = embedding_candidate_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        max_bucket_size=max_bucket_size,
+        signature_bits=signature_bits,
+        hamming_margin=hamming_margin,
+        target_bucket_size=target_bucket_size,
+    )
+    if signature_bits:
+        h_max = signature_hamming_cutoff(
+            threshold, signature_bits, hamming_margin
+        )
+        cand = cand.filter(F.col("hamming") <= h_max)
     sim = _cosine(F.col("emb_a"), F.col("emb_b"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
