@@ -1,16 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line (headline fields FIRST, so a truncating tail capture
-still yields the metric):
+compact JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "tokens_per_sec": ..., "queries": {name: sec, ...}, ...}
 
-The full per-pass run history (the variance evidence) is written to
-BENCH_HISTORY.json next to this script rather than embedded in stdout —
-in round 3 the embedded history outgrew the driver's tail capture and the
-artifact of record lost its machine-readable headline.
+The line is hard-capped under 1900 chars because the driver's artifact of
+record keeps only the last 2000 chars of stdout — BENCH_r03/BENCH_r04 both
+carry `parsed: null` from payload lines that overflowed that window.  The
+full payload (per-pass history, ANN quality, near-dup scale telemetry) is
+written to BENCH_HISTORY.json next to this script.
 
 Variance control: this host swings up to ±2x run-to-run (shared
 frequency/cache/membw), so every query runs in N_PASSES interleaved passes
@@ -357,8 +357,15 @@ def main() -> None:
     comprehensive_tokens_per_sec = round(comp_tokens / dt, 1)
     spark.catalog.clearCache()
 
-    # the full query suite, in N_PASSES interleaved passes
-    qfns = em.queries()
+    # the full query suite, in N_PASSES interleaved passes.  The opt-in
+    # O(n²) matrix-profile grid runs LAST within each pass: it is the
+    # single hottest query (~14 s of sustained full-core STOMP) and
+    # running it mid-suite heats the host for every query after it
+    # (VERDICT r4 #2).
+    qfns = dict(em.queries())
+    for heavy in ("matrix_profile_grid",):
+        if heavy in qfns:
+            qfns[heavy] = qfns.pop(heavy)
     for _pass in range(N_PASSES):
         for name, fn in qfns.items():
             t0 = time.perf_counter()
@@ -378,12 +385,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     payload = {
-        # headline fields FIRST — a truncated tail capture still parses them
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "tokens_per_sec": tokens_per_sec,
+        "ms_per_series": round(1000.0 * total_tokens / tokens_per_sec / n_docs, 3),
         "total_tokens": int(total_tokens),
         "events_tokens_per_sec": events_tokens_per_sec,
         "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
@@ -403,7 +410,36 @@ def main() -> None:
     )
     with open(hist_path, "w") as fh:
         json.dump({"history": history, **payload}, fh, indent=1)
-    print(json.dumps(payload))
+    # The driver records only the LAST 2000 chars of stdout (BENCH_r03/r04
+    # both carry `parsed: null` because the full payload line overflowed
+    # that window and lost its head — the real round-4 "headline
+    # regression").  stdout therefore gets exactly ONE compact JSON line,
+    # hard-capped under the window, so the artifact of record always
+    # parses; the full payload (ann, near-dup telemetry, method, history)
+    # lives in BENCH_HISTORY.json.
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "tokens_per_sec": tokens_per_sec,
+        "ms_per_series": payload["ms_per_series"],
+        "events_tokens_per_sec": events_tokens_per_sec,
+        "comprehensive_tokens_per_sec": comprehensive_tokens_per_sec,
+        "passes": N_PASSES,
+        "cpus": cpus,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces as the suite grows
+        compact["queries"] = {
+            k: round(v, 1) for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        compact["queries_truncated_see"] = "BENCH_HISTORY.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
