@@ -226,6 +226,7 @@ def near_dup_scale(spark, sf: float) -> dict | None:
     # exact cosine), and verified pairs (cosine ≥ 0.9 among survivors).
     # num_planes comes from derive_num_planes(n) — the production default.
     from tsfresh_spark.operators.dedup import (
+        DEFAULT_SIGNATURE_BITS,
         derive_num_planes,
         embedding_candidate_pairs,
         signature_hamming_cutoff,
@@ -237,33 +238,48 @@ def near_dup_scale(spark, sf: float) -> dict | None:
     )
     emb.count()
     planes = derive_num_planes(n_docs)
-    h_max = signature_hamming_cutoff(0.9, 126)
+    # cutoff MUST be derived for the same bit width the operator defaults
+    # to — a narrower-width cutoff silently shrinks the 5σ margin
+    h_max = signature_hamming_cutoff(0.9, DEFAULT_SIGNATURE_BITS)
     t0 = time.perf_counter()
     surv = F.col("hamming") <= F.lit(h_max)
-    row = (
-        embedding_candidate_pairs(
-            emb,
-            dim=32,
-            num_planes=planes,
-            num_tables=4,
-            max_bucket_size=1024,
-        )
-        .agg(
-            F.count("*").alias("bucket_pairs"),
-            F.count_if(surv).alias("survivors"),
-            F.count_if(
-                surv & (_cosine(F.col("emb_a"), F.col("emb_b")) >= 0.9)
-            ).alias("v"),
-        )
-        .collect()[0]
+    cand = embedding_candidate_pairs(
+        emb,
+        dim=32,
+        num_planes=planes,
+        num_tables=4,
+        max_bucket_size=1024,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    row = cand.agg(
+        F.count("*").alias("bucket_pairs"),
+        F.count_if(surv).alias("survivors"),
+    ).collect()[0]
+    # exact-cosine verify on the survivors only, vectors joined back by id
+    # — the production shape (candidates are narrow; see dedup docstring)
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("emb_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("emb_b"),
+    )
+    verified = (
+        cand.filter(surv)
+        .select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(_cosine(F.col("emb_a"), F.col("emb_b")) >= 0.9)
+        .count()
     )
     out["embedding"] = {
         "sec": round(time.perf_counter() - t0, 3),
         "num_planes": planes,
         "hamming_cutoff": h_max,
+        "signature_bits": DEFAULT_SIGNATURE_BITS,
         "bucket_pairs": row["bucket_pairs"],
         "candidate_pairs": row["survivors"],
-        "verified_pairs": row["v"],
+        "verified_pairs": verified,
         "candidate_frac_of_n2": round(
             row["survivors"] / out["possible_pairs"], 10
         ),
@@ -271,6 +287,7 @@ def near_dup_scale(spark, sf: float) -> dict | None:
             row["bucket_pairs"] / out["possible_pairs"], 10
         ),
     }
+    cand.unpersist()
     emb.unpersist()
     spark.catalog.clearCache()
     return out

@@ -365,6 +365,83 @@ def test_embedding_candidate_pairs_hamming_separation(spark, vectors):
     assert (same.hamming <= cutoff).mean() >= 0.99
 
 
+def test_batch_signature_equals_catalyst_reference(spark, vectors):
+    """The vectorized (numpy-matmul pandas UDF) signature words must be
+    bit-identical to the Catalyst sequential-fold reference on clustered
+    AND random data — the A/B any 'equivalent' rewrite needs (CLAUDE.md).
+    Also pins the sign margin: no |dot| close enough to zero for BLAS
+    summation order to flip a sign vs the sequential fold."""
+    from tsfresh_spark.operators.dedup import (
+        _SIG_PLANE_BASE,
+        _signature_words,
+        _signature_words_batch,
+    )
+    from tsfresh_spark.operators.similarity import _hyperplane
+
+    rng = np.random.RandomState(31)
+    rand = spark.createDataFrame(
+        [
+            (i, (rng.randn(16) * (10.0 ** rng.randint(-3, 3))).tolist())
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for df in (vectors, rand):
+        got = (
+            df.select(
+                "vec_id",
+                _signature_words_batch(16, 126)(
+                    F.col("embedding").cast("array<double>")
+                ).alias("b"),
+                _signature_words(
+                    F.col("embedding").cast("array<double>"), 16, 126
+                ).alias("c"),
+            )
+            .toPandas()
+        )
+        for _, r in got.iterrows():
+            assert list(r.b) == list(r.c), r.vec_id
+    # sign margin on the same data: min |dot| across all (row, plane)
+    planes = np.array(
+        [_hyperplane(16, _SIG_PLANE_BASE + p) for p in range(126)]
+    )
+    V = np.stack(vectors.toPandas().embedding.to_numpy())
+    margin = np.abs(V @ planes.T).min()
+    assert margin > 1e-9, margin  # sequential-vs-BLAS rounding is ~1e-16
+
+
+def test_batch_bucket_ids_equal_lsh_keys(spark, vectors):
+    """The batched bucket-id UDF must produce the exact (tbl, bkt) key set
+    of the Catalyst _lsh_keys form for every row."""
+    from tsfresh_spark.operators.dedup import _bucket_ids_batch
+    from tsfresh_spark.operators.similarity import _lsh_keys
+
+    df = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cat = (
+        df.select(
+            "vec_id", F.explode(_lsh_keys("emb", 16, 3, 5)).alias("key")
+        )
+        .select("vec_id", "key.tbl", "key.bkt")
+        .toPandas()
+        .sort_values(["vec_id", "tbl"])
+        .reset_index(drop=True)
+    )
+    bat = (
+        df.select(
+            "vec_id",
+            F.posexplode(_bucket_ids_batch(16, 3, 5)(F.col("emb"))).alias(
+                "tbl", "bkt"
+            ),
+        )
+        .toPandas()
+        .sort_values(["vec_id", "tbl"])
+        .reset_index(drop=True)
+    )
+    assert cat.astype("int64").equals(bat.astype("int64"))
+
+
 def test_embedding_bucket_report(spark, vectors):
     """Saturation report: empty when buckets fit the cap, and surfaces
     every over-cap bucket (with its true size) when the cap is tiny."""

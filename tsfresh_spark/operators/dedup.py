@@ -636,6 +636,9 @@ def simhash_near_duplicates(
 # shift the hamming distribution of random in-bucket pairs downward and
 # blunt the pre-filter).
 _SIG_PLANE_BASE = 10_000
+DEFAULT_SIGNATURE_BITS = 252  # 4 × 63-bit words; at 5σ the pass boundary
+# sits near cosine ≈ 0.70 for threshold 0.9 — wide enough that bucket
+# noise dies, tight enough that recall loss stays ~3e-7 per true pair
 _SIG_BITS_PER_WORD = 63  # keep bit 63 clear: both engines stay in positive
 # signed-long territory, no two's-complement shift edge to mirror
 
@@ -681,7 +684,10 @@ def signature_hamming_cutoff(
 
 def _signature_words(vec_col, dim: int, signature_bits: int):
     """array<long> of 63-bit sign-signature words from the dedicated
-    signature plane family."""
+    signature plane family — Catalyst-expression REFERENCE implementation
+    (sequential fold dot products, the exact evaluation order the DuckDB
+    oracle replays).  Production uses :func:`_signature_words_batch`;
+    tests/test_dedup_similarity.py A/Bs the two bit-for-bit."""
     from tsfresh_spark.operators.similarity import _dot, _hyperplane
 
     words = []
@@ -695,6 +701,96 @@ def _signature_words(vec_col, dim: int, signature_bits: int):
             bits = bits.bitwiseOR(F.shiftleft(sign_bit, p - w))
         words.append(bits)
     return F.array(*words)
+
+
+def _pack_sign_words(signs):
+    """(batch, bits) boolean sign matrix → (batch, ceil(bits/63)) int64
+    words, LSB = lowest plane index within each 63-bit word (the exact
+    packing of :func:`_signature_words`)."""
+    import numpy as np
+
+    n, bits = signs.shape
+    n_words = (bits + _SIG_BITS_PER_WORD - 1) // _SIG_BITS_PER_WORD
+    words = np.zeros((n, n_words), dtype=np.int64)
+    for w in range(n_words):
+        chunk = signs[:, w * _SIG_BITS_PER_WORD:(w + 1) * _SIG_BITS_PER_WORD]
+        weights = np.left_shift(
+            np.int64(1), np.arange(chunk.shape[1], dtype=np.int64)
+        )
+        words[:, w] = chunk.astype(np.int64) @ weights
+    return words
+
+
+def _signature_words_batch(dim: int, signature_bits: int):
+    """Arrow-batched pandas UDF computing the SAME signature words as
+    :func:`_signature_words` via one numpy matmul per batch — the
+    vectorized production path (the Catalyst lambda form evaluates
+    ``signature_bits × dim`` interpreted HigherOrderFunction steps per
+    row; at 200k docs × 126 planes that alone cost ~20 s of the round-5
+    telemetry run).  BLAS pairwise summation can round differently from
+    the sequential fold only when ``|dot| ≲ 1e-13``; sign-margin and A/B
+    tests pin equality on the gate corpora, and a stray flipped bit moves
+    hamming by 1 against a ≥5σ (~±20-bit) cutoff margin, so the filter
+    decision is unaffected in practice."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tsfresh_spark.operators.similarity import _hyperplane
+
+    planes = np.array(
+        [
+            _hyperplane(dim, _SIG_PLANE_BASE + p)
+            for p in range(signature_bits)
+        ],
+        dtype=np.float64,
+    )  # (bits, dim)
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())  # (batch, dim) float64
+        words = _pack_sign_words(V @ planes.T > 0)
+        return pd.Series(list(words))
+
+    return sig
+
+
+def _bucket_ids_batch(dim: int, num_planes: int, num_tables: int):
+    """Arrow-batched pandas UDF computing, per row, the array of
+    ``num_tables`` sign-LSH bucket ids — identical values to
+    ``similarity.lsh_bucket_expr`` (plane index ``t·num_planes + p``,
+    bit weight ``1 << p``), one numpy matmul per batch instead of
+    ``num_tables × num_planes`` interpreted Catalyst folds per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tsfresh_spark.operators.similarity import _hyperplane
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * num_planes + p)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )  # (num_tables*num_planes, dim)
+    weights = np.left_shift(
+        np.int64(1), np.arange(num_planes, dtype=np.int64)
+    )
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())
+        signs = (V @ planes.T > 0).astype(np.int64)  # (batch, T*P)
+        bkt = signs.reshape(len(V), num_tables, num_planes) @ weights
+        return pd.Series(list(bkt))
+
+    return buckets
 
 
 def _sig_hamming(a, b, n_words: int):
@@ -714,19 +810,19 @@ def embedding_candidate_pairs(
     num_planes: int | None = None,
     num_tables: int = 8,
     max_bucket_size: int | None = None,
-    signature_bits: int = 126,
+    signature_bits: int = DEFAULT_SIGNATURE_BITS,
     hamming_margin: float = 5.0,
     target_bucket_size: int = 4,
 ) -> DataFrame:
     """Candidate stage of :func:`embedding_near_duplicates`, exposed for
-    telemetry: ``(id_a, id_b, emb_a, emb_b, hamming)`` — every deduplicated
-    bucket-join pair with its signature hamming distance, NOT yet
-    hamming-filtered.  ``hamming <= signature_hamming_cutoff(...)`` is the
-    production pre-filter predicate; counting rows on both sides of it in
-    one aggregate gives bucket-pair and candidate telemetry in a single
-    production-shaped job (cf. bench.near_dup_scale)."""
-    from tsfresh_spark.operators.similarity import _lsh_keys
-
+    telemetry: ``(id_a, id_b, hamming)`` — every deduplicated bucket-join
+    pair with its signature hamming distance, NOT yet hamming-filtered.
+    ``hamming <= signature_hamming_cutoff(...)`` is the production
+    pre-filter predicate; counting rows on both sides of it in one
+    aggregate gives bucket-pair and candidate telemetry in a single
+    production-shaped job (cf. bench.near_dup_scale).  Deliberately
+    NARROW: no embedding columns ride through the pair shuffles —
+    consumers join vectors back by id on the filtered survivors."""
     if num_planes is None:
         # one cheap count job at plan time; pass num_planes explicitly to
         # keep the operator fully lazy
@@ -739,10 +835,19 @@ def embedding_candidate_pairs(
     )
     if signature_bits:
         base = base.withColumn(
-            "sig", _signature_words(F.col("emb"), dim, signature_bits)
+            "sig", _signature_words_batch(dim, signature_bits)(F.col("emb"))
         )
-    keyed = base.withColumn(
-        "key", F.explode(_lsh_keys("emb", dim, num_planes, num_tables))
+    # bucket ids via the batched matmul UDF (bit-identical values to the
+    # _lsh_keys Catalyst form — A/B-tested); posexplode index = table id
+    keyed = (
+        base.select(
+            "*",
+            F.posexplode(
+                _bucket_ids_batch(dim, num_planes, num_tables)(F.col("emb"))
+            ).alias("tbl", "bkt"),
+        )
+        .withColumn("key", F.struct("tbl", "bkt"))
+        .drop("tbl", "bkt")
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("key").orderBy("id")
@@ -751,7 +856,13 @@ def embedding_candidate_pairs(
             .filter(F.col("rn") <= max_bucket_size)
             .drop("rn")
         )
-    side = ["id", "emb"] + (["sig"] if signature_bits else [])
+    # NARROW join sides: ids + signature words only.  Carrying the
+    # embedding vectors through the candidate join + pair-dedup shuffle
+    # costs ~8× the whole skeleton at 200k docs (measured 112 s vs 15 s —
+    # 4.7M pairs × 2×dim doubles of shuffle/spill); consumers re-join the
+    # vectors BY ID for the (tiny) surviving pair set instead, exactly the
+    # shape the minhash pipeline and the DuckDB oracle use.
+    side = ["id"] + (["sig"] if signature_bits else [])
     a = keyed.select(
         *[F.col(c).alias(f"{c}_a") for c in side], "key"
     )
@@ -768,7 +879,7 @@ def embedding_candidate_pairs(
         hamming = _sig_hamming(F.col("sig_a"), F.col("sig_b"), n_words)
     else:
         hamming = F.lit(0).cast("long")
-    return cand.select("id_a", "id_b", "emb_a", "emb_b", hamming.alias("hamming"))
+    return cand.select("id_a", "id_b", hamming.alias("hamming"))
 
 
 def embedding_bucket_report(
@@ -788,20 +899,18 @@ def embedding_bucket_report(
     recall loss the pair counts alone cannot show — run this report (or
     watch its count in bench telemetry) whenever the cap is in play, and
     raise ``num_planes`` if it returns rows."""
-    from tsfresh_spark.operators.similarity import _lsh_keys
-
     if num_planes is None:
         num_planes = derive_num_planes(
             df.count(), target_bucket_size=target_bucket_size
         )
     keyed = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            _lsh_keys(
-                F.col(vec_col).cast("array<double>"), dim, num_planes, num_tables
+        F.posexplode(
+            _bucket_ids_batch(dim, num_planes, num_tables)(
+                F.col(vec_col).cast("array<double>")
             )
-        ).alias("key"),
-    )
+        ).alias("tbl", "bkt"),
+    ).withColumn("key", F.struct("tbl", "bkt"))
     return (
         keyed.groupBy("key")
         .agg(F.count("*").alias("bucket_size"))
@@ -825,7 +934,7 @@ def embedding_near_duplicates(
     num_tables: int = 8,
     max_bucket_size: int | None = None,
     round_digits: int | None = 6,
-    signature_bits: int = 126,
+    signature_bits: int = DEFAULT_SIGNATURE_BITS,
     hamming_margin: float = 5.0,
     target_bucket_size: int = 4,
 ) -> DataFrame:
@@ -876,9 +985,27 @@ def embedding_near_duplicates(
             threshold, signature_bits, hamming_margin
         )
         cand = cand.filter(F.col("hamming") <= h_max)
+    # vectors re-joined BY ID for the surviving pairs only — the candidate
+    # stage is narrow (see embedding_candidate_pairs); at production scale
+    # the survivor set is ≪ n so AQE broadcasts these joins
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    pairs = cand.select("id_a", "id_b").join(
+        base.select(
+            F.col("id").alias("id_a"), F.col("emb").alias("emb_a")
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("id").alias("id_b"), F.col("emb").alias("emb_b")
+        ),
+        "id_b",
+    )
     sim = _cosine(F.col("emb_a"), F.col("emb_b"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= F.lit(threshold)
     )
