@@ -11,7 +11,7 @@ side-by-side: parameterless simples, parameterized simples over the full
 comprehensive grid, and combiners.  Same comparator as the suite (1e-9
 relative, NaN<=>NaN, matching exception classes).
 
-Usage:  python scripts/kernel_hunt.py [n_examples] [seed]
+Usage:  python scripts/kernel_hunt.py [n_examples] [seed] [max_len]
 Prints one line per distinct (kernel, param-key) failure, then a summary.
 Exit code 1 on any failure.
 """
@@ -76,16 +76,16 @@ def load_reference():
     return mod
 
 
-def random_series(rng: np.random.RandomState) -> np.ndarray:
-    """Adversarial series: mixed length regimes (short/mid/long up to 600),
-    float/int/tied/NaN-bearing/blocky value kinds."""
+def random_series(rng: np.random.RandomState, max_len: int = 600) -> np.ndarray:
+    """Adversarial series: mixed length regimes (short/mid/long up to
+    ``max_len``), float/int/tied/NaN-bearing/blocky value kinds."""
     r = rng.rand()
     if r < 0.3:
         n = rng.randint(1, 41)
     elif r < 0.7:
-        n = rng.randint(41, 201)
+        n = rng.randint(41, min(201, max_len + 1))
     else:
-        n = rng.randint(201, 601)
+        n = rng.randint(min(201, max_len), max_len + 1)
     kind = rng.randint(5)
     if kind == 0:
         x = rng.randn(n) * 10.0 ** rng.randint(-2, 4)
@@ -106,6 +106,7 @@ def random_series(rng: np.random.RandomState) -> np.ndarray:
 def main() -> None:
     n_examples = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
+    max_len = int(sys.argv[3]) if len(sys.argv) > 3 else 600
 
     ref = load_reference()
     from tsfresh_spark.kernels import KERNELS
@@ -136,7 +137,7 @@ def main() -> None:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         for i in range(n_examples):
-            x = random_series(rng)
+            x = random_series(rng, max_len)
             for name, info, rf, params in plan:
                 arr = x.copy()
                 xin = pd.Series(arr) if info.input == "series" else arr
@@ -201,7 +202,8 @@ def main() -> None:
     for (name, key), (n, mine, theirs) in sorted(distinct.items()):
         print(f"FAIL {name} {key} n={n}: mine={mine!r} theirs={theirs!r}")
     print(
-        f"hunt: {n_examples} examples (seed {seed}), {len(plan)} kernels, "
+        f"hunt: {n_examples} examples (seed {seed}, max_len {max_len}), "
+        f"{len(plan)} kernels, "
         f"{checked} comparisons, {len(distinct)} distinct failures "
         f"({len(fails)} raw) in {time.perf_counter() - t0:.0f} s"
     )
