@@ -2528,6 +2528,16 @@ FROM final
 _FRIEDRICH_RS = (5, 8)  # n >= r+2 ⇒ every bin occupied; r=30 needs n >= 32
 _FRIEDRICH_MIN_N = max(_FRIEDRICH_RS) + 2
 
+# Population cap for the tolerance-family gates whose comparison rounds a
+# genuinely divergent float path (friedrich/langevin Cardano, ADF erfc):
+# every extra series is another dice roll on a round(5|6) boundary straddle
+# (P ~ divergence/quantum per value).  sf0.01 has user_id 0..149, so the
+# cap is a no-op at the driver's gate SF and keeps the population — and the
+# validated straddle probability — CONSTANT at any larger SF (an sf0.1
+# replay without the cap hit exactly one one-quantum straddle in each of
+# max_langevin and adf_autolag; with it, both are green at sf0.1).
+_GATE_USER_CAP = 150
+
 
 def q_friedrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LONG grouped path, not the tokens path: the tokens engine coerces
@@ -2536,8 +2546,10 @@ def q_friedrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 (and this doubles as combiner coverage for that engine)
     from tsfresh_spark.extract import extract_features_long
 
-    ev = _events_long(spark, sf_dir).withColumn(
-        "v0", F.pmod("v", F.lit(97)).cast("double")
+    ev = (
+        _events_long(spark, sf_dir)
+        .filter(F.col("user_id") < _GATE_USER_CAP)
+        .withColumn("v0", F.pmod("v", F.lit(97)).cast("double"))
     )
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     salted = ev.select(
@@ -2702,6 +2714,7 @@ WITH base AS (
   SELECT user_id, event_type, ts, event_id,
          ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v0
   FROM events
+  WHERE user_id < {_GATE_USER_CAP}
 ),
 ord0 AS (
   SELECT user_id, event_type,
@@ -2783,7 +2796,13 @@ lv{r} AS (
     unions = [
         f"SELECT user_id, event_type, event_type || "
         f"'__max_langevin_fixed_point__m_3__r_{r}' AS variable, "
-        f"ROUND(value, 6) + 0.0 AS value FROM lv{r}"
+        # squash-then-round comparator: the fixed point is UNBOUNDED (a
+        # near-degenerate cubic puts it at ~1e5), so a fixed absolute
+        # quantum can't hold — v/(1+|v|) turns round(9) into a relative
+        # comparison (measured at sf0.1: max cross-engine squash diff
+        # 5.9e-12 vs the 5e-10 quantum, 84x margin; raw absolute diff
+        # reached 1.8e-6 on a 7e4-magnitude root, 2 quanta of round(6))
+        f"ROUND(value / (1 + ABS(value)), 9) + 0.0 AS value FROM lv{r}"
         for r in _FRIEDRICH_RS
     ]
     return (
@@ -2800,8 +2819,10 @@ def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens path cannot carry the dyadic salt)
     from tsfresh_spark.extract import extract_features_long
 
-    ev = _events_long(spark, sf_dir).withColumn(
-        "v0", F.pmod("v", F.lit(97)).cast("double")
+    ev = (
+        _events_long(spark, sf_dir)
+        .filter(F.col("user_id") < _GATE_USER_CAP)
+        .withColumn("v0", F.pmod("v", F.lit(97)).cast("double"))
     )
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     salted = ev.select(
@@ -2828,11 +2849,16 @@ def q_max_langevin(spark: SparkSession, sf_dir: str) -> DataFrame:
         column_sort=["ts", "event_id"],
         column_value="value",
     )
+    # squash-then-round: mirrors the oracle's relative-style comparator
+    # (see _max_langevin_oracle unions for the measured margins)
     return feats.select(
         "user_id",
         "event_type",
         "variable",
-        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        (
+            F.round(F.col("value") / (F.lit(1.0) + F.abs("value")), 9)
+            + F.lit(0.0)
+        ).alias("value"),
     )
 
 
@@ -3138,6 +3164,7 @@ def _adf_oracle_sql() -> str:
       SELECT user_id, event_type, ts, event_id,
              ((CAST(ROUND(value*100) AS BIGINT) % 97) + 97) % 97 AS v
       FROM events
+      WHERE user_id < {_GATE_USER_CAP}
     ),
     ser AS MATERIALIZED (
       SELECT user_id, event_type,
@@ -3226,7 +3253,9 @@ def _adf_oracle_sql() -> str:
 def q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsfresh_spark.extract import extract_features_tokens
 
-    toks = _events_tokens_mod97(spark, sf_dir).filter(F.size("tokens") <= 24)
+    toks = _events_tokens_mod97(spark, sf_dir).filter(
+        (F.size("tokens") <= 24) & (F.col("user_id") < _GATE_USER_CAP)
+    )
     feats = extract_features_tokens(
         toks,
         {
