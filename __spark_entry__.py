@@ -2345,7 +2345,7 @@ fscale AS (
   SELECT user_id, event_type, 1.0 / SUM(w2) AS sc
   FROM win GROUP BY user_id, event_type
 ),
-psd AS (
+psd AS MATERIALIZED (
   SELECT s.user_id, s.event_type, s.k,
          (s.re*s.re + s.im*s.im) * c.sc
          * CASE WHEN s.k = 0 THEN 1.0
@@ -2354,7 +2354,16 @@ psd AS (
   FROM fspec s JOIN fscale c
     ON s.user_id = c.user_id AND s.event_type = c.event_type
 ),
-norm AS (
+-- MATERIALIZED is load-bearing on psd and norm: DuckDB inlines a CTE into
+-- each consumer, and under parallel execution the float SUMs upstream
+-- (fspec re/im, fscale sc) re-evaluate with a different summation order
+-- per consumer.  psd feeds both norm's row side and its MAX subquery, and
+-- norm feeds both frng (qmn/qmx) and fbcount (the FLOOR binning) — ulp
+-- disagreement between two evaluations put a q BELOW the other
+-- evaluation's qmn, minting a spurious bin -1 whose probabilities sum
+-- past 1 (observed at sf0.1: fourier_entropy__bins_2 = 0.849 > ln 2,
+-- flipping with SET threads=1).  Materializing pins ONE evaluation.
+norm AS MATERIALIZED (
   SELECT p.user_id, p.event_type, p.p / mx.m AS q
   FROM psd p JOIN (
     SELECT user_id, event_type, MAX(p) AS m FROM psd
@@ -3287,7 +3296,16 @@ def q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ar_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsfresh_spark.extract import extract_features_tokens
 
-    toks = _events_tokens_mod97(spark, sf_dir)
+    # well-posed fits only — mirrors the oracle's HAVING (see _ORACLE_AR_K1)
+    toks = _events_tokens_mod97(spark, sf_dir).filter(
+        (F.size("tokens") >= 3)
+        & (
+            F.size(
+                F.array_distinct(F.slice("tokens", 1, F.size("tokens") - 1))
+            )
+            > 1
+        )
+    )
     feats = extract_features_tokens(
         toks,
         {"ar_coefficient": [{"coeff": c, "k": 1} for c in (0, 1)]},
@@ -3319,6 +3337,11 @@ fit AS (
          AVG(v) AS my, AVG(vl) AS mx
   FROM ord WHERE vl IS NOT NULL
   GROUP BY user_id, event_type
+  -- well-posed fits only (>= 2 lag pairs, non-constant regressor): on a
+  -- rank-deficient design the kernel returns np.linalg.lstsq's min-norm
+  -- solution (the reference's statsmodels-pinv behavior), which this
+  -- closed form cannot express — mirrored by the Spark-side filter
+  HAVING COUNT(*) >= 2 AND COUNT(DISTINCT vl) > 1
 )
 SELECT user_id, event_type,
        event_type || '__ar_coefficient__coeff_0__k_1' AS variable,
