@@ -1511,11 +1511,24 @@ def q_stats_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="user_id",
         kind_col="event_type",
     )
+    # unbounded-magnitude arms take the squash-then-round comparator
+    # (see the oracle's comment above the variance arm); the endswith
+    # suffixes are unambiguous — e.g. "…__variance_larger_than_
+    # standard_deviation" ends with NEITHER "__variance" NOR
+    # "__standard_deviation"
+    unbounded = F.col("variable").endswith("__variance") | \
+        F.col("variable").endswith("__standard_deviation") | \
+        F.col("variable").endswith("__variation_coefficient") | \
+        F.col("variable").endswith("__cid_ce__normalize_False")
+    squashed = F.round(F.col("value") / (F.lit(1.0) + F.abs("value")), 9)
     return feats.select(
         "user_id",
         "event_type",
         "variable",
-        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        (
+            F.when(unbounded, squashed).otherwise(F.round("value", 6))
+            + F.lit(0.0)
+        ).alias("value"),
     )
 
 
@@ -1669,12 +1682,18 @@ f AS (
   LEFT JOIN imq i ON st.user_id = i.user_id AND st.event_type = i.event_type
   LEFT JOIN benford b ON st.user_id = b.user_id AND st.event_type = b.event_type
 )
+-- the four UNBOUNDED-magnitude arms (raw integral v up to ~1e4 makes
+-- variance ~1e8) use the squash-then-round comparator — a fixed absolute
+-- quantum cannot hold there (an sf0.1 replay hit a one-quantum straddle
+-- on a 6.4e7 variance); bounded arms keep plain round(6).  Mirrored in
+-- q_stats_sweep's endswith dispatch.
 SELECT user_id, event_type, event_type || '__variance' AS variable,
-       ROUND(var, 6) + 0.0 AS value FROM f
+       ROUND(var / (1 + ABS(var)), 9) + 0.0 AS value FROM f
 UNION ALL SELECT user_id, event_type, event_type || '__standard_deviation',
-       ROUND(sd, 6) + 0.0 FROM f
+       ROUND(sd / (1 + ABS(sd)), 9) + 0.0 FROM f
 UNION ALL SELECT user_id, event_type, event_type || '__variation_coefficient',
-       CASE WHEN m = 0 THEN NULL ELSE ROUND(sd / m, 6) + 0.0 END FROM f
+       CASE WHEN m = 0 THEN NULL
+            ELSE ROUND((sd / m) / (1 + ABS(sd / m)), 9) + 0.0 END FROM f
 UNION ALL SELECT user_id, event_type, event_type || '__skewness',
        CASE WHEN n < 3 THEN NULL WHEN ss2 = 0 THEN 0.0
             ELSE ROUND(n * SQRT(n - 1.0) / (n - 2) * ss3 / POWER(ss2, 1.5), 6) + 0.0
@@ -1717,7 +1736,7 @@ UNION ALL SELECT user_id, event_type, event_type || '__count_below__t_0',
 UNION ALL SELECT user_id, event_type, event_type || '__number_crossing_m__m_0',
        CAST(crossings AS DOUBLE) FROM f
 UNION ALL SELECT user_id, event_type, event_type || '__cid_ce__normalize_False',
-       ROUND(SQRT(sum_d2), 6) + 0.0 FROM f
+       ROUND(SQRT(sum_d2) / (1 + ABS(SQRT(sum_d2))), 9) + 0.0 FROM f
 UNION ALL SELECT user_id, event_type, event_type || '__cid_ce__normalize_True',
        CASE WHEN sd = 0 THEN 0.0
             ELSE ROUND(SQRT(sum_d2) / sd, 6) + 0.0 END FROM f
@@ -2038,10 +2057,18 @@ dist AS (
             + POWER((l1 - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) - ({q1}), 2)
             + POWER((l2 - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) - ({q2}), 2)) AS d
   FROM win
-)
-SELECT user_id, event_type, 'qsc' AS variable,
-       CAST(SUM(CASE WHEN d <= {thr} THEN 1 ELSE 0 END) AS DOUBLE) AS value
-FROM dist GROUP BY user_id, event_type
+),
+agg AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CASE WHEN d <= {thr} THEN 1 ELSE 0 END) AS DOUBLE) AS value
+  FROM dist GROUP BY user_id, event_type
+),
+-- spine keeps series shorter than the query (no windows): the kernel
+-- emits NaN for those, so the oracle must emit the row with NULL
+spine AS (SELECT DISTINCT user_id, event_type FROM base)
+SELECT s.user_id, s.event_type, 'qsc' AS variable, a.value
+FROM spine s LEFT JOIN agg a
+  ON s.user_id = a.user_id AND s.event_type = a.event_type
 """
 
 
