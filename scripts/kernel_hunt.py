@@ -11,7 +11,9 @@ side-by-side: parameterless simples, parameterized simples over the full
 comprehensive grid, and combiners.  Same comparator as the suite (1e-9
 relative, NaN<=>NaN, matching exception classes).
 
-Usage:  python scripts/kernel_hunt.py [n_examples] [seed] [max_len]
+Usage:  python scripts/kernel_hunt.py [n_examples] [seed] [max_len] [extreme]
+        extreme=1 widens float magnitudes to 10^[-150, 300) — exercises
+        the overflow/underflow paths (inf<=>inf, nan<=>nan must match)
 Prints one line per distinct (kernel, param-key) failure, then a summary.
 Exit code 1 on any failure.
 """
@@ -76,7 +78,9 @@ def load_reference():
     return mod
 
 
-def random_series(rng: np.random.RandomState, max_len: int = 600) -> np.ndarray:
+def random_series(
+    rng: np.random.RandomState, max_len: int = 600, extreme: bool = False
+) -> np.ndarray:
     """Adversarial series: mixed length regimes (short/mid/long up to
     ``max_len``), float/int/tied/NaN-bearing/blocky value kinds."""
     r = rng.rand()
@@ -88,7 +92,12 @@ def random_series(rng: np.random.RandomState, max_len: int = 600) -> np.ndarray:
         n = rng.randint(min(201, max_len), max_len + 1)
     kind = rng.randint(5)
     if kind == 0:
-        x = rng.randn(n) * 10.0 ** rng.randint(-2, 4)
+        # extreme caps at 10^154: x**2 sums overflow to inf from ~1e154
+        # (variance) and x**4 from ~1e77 (kurtosis) — the inf paths we
+        # want — while staying clear of LAPACK misbehavior (see
+        # _LSTSQ_KERNELS below for the remaining guard)
+        expo = rng.randint(-100, 155) if extreme else rng.randint(-2, 4)
+        x = rng.randn(n) * 10.0 ** expo
     elif kind == 1:
         x = rng.randint(-50, 51, size=n).astype(float)
     elif kind == 2:  # heavy ties
@@ -107,6 +116,7 @@ def main() -> None:
     n_examples = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260817
     max_len = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+    extreme = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
 
     ref = load_reference()
     from tsfresh_spark.kernels import KERNELS
@@ -130,6 +140,20 @@ def main() -> None:
                 continue
         plan.append((name, info, rf, params))
 
+    # lstsq/polyfit-backed kernels: LAPACK's DGELSD hangs (DLASCL illegal
+    # value, observed looping for minutes) when the design-column scale
+    # spread is astronomical — e.g. friedrich's x**3 column at |x|~1e-91
+    # is ~1e-273 against the constant column 1.  The REFERENCE makes the
+    # identical np.polyfit/np.linalg.lstsq call, so this is an
+    # environment pathology, not a semantics divergence; skip these
+    # kernels when |x| leaves [1e-30, 1e30] and keep the moment/energy
+    # kernels' inf/underflow coverage.
+    _LSTSQ_KERNELS = {
+        "friedrich_coefficients",
+        "max_langevin_fixed_point",
+        "ar_coefficient",
+    }
+
     rng = np.random.RandomState(seed)
     fails: list[tuple] = []
     checked = 0
@@ -137,8 +161,13 @@ def main() -> None:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         for i in range(n_examples):
-            x = random_series(rng, max_len)
+            x = random_series(rng, max_len, extreme)
+            with np.errstate(all="ignore"):
+                mag = float(np.nanmax(np.abs(x))) if len(x) else 0.0
+            wild = not (1e-30 <= mag <= 1e30) and mag == mag and mag > 0
             for name, info, rf, params in plan:
+                if wild and name in _LSTSQ_KERNELS:
+                    continue
                 arr = x.copy()
                 xin = pd.Series(arr) if info.input == "series" else arr
                 if info.fctype == "combiner":
@@ -202,8 +231,8 @@ def main() -> None:
     for (name, key), (n, mine, theirs) in sorted(distinct.items()):
         print(f"FAIL {name} {key} n={n}: mine={mine!r} theirs={theirs!r}")
     print(
-        f"hunt: {n_examples} examples (seed {seed}, max_len {max_len}), "
-        f"{len(plan)} kernels, "
+        f"hunt: {n_examples} examples (seed {seed}, max_len {max_len}, "
+        f"extreme {int(extreme)}), {len(plan)} kernels, "
         f"{checked} comparisons, {len(distinct)} distinct failures "
         f"({len(fails)} raw) in {time.perf_counter() - t0:.0f} s"
     )
