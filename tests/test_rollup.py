@@ -241,3 +241,29 @@ def test_retention_ages_out_old_windows(spark, raw_points, tmp_path_factory):
     )
     new_rows = remaining.sort_values(["doc_id", "source", "window_start"])
     assert [bytes(p) for p in old_rows.payload] == [bytes(p) for p in new_rows.payload]
+
+
+def test_tier_without_payload_matches_with_payload(spark, raw_points):
+    """Round-6: compute_tier(with_payload=False) must be identical to the
+    payload-bearing form in every column except payload (which comes back
+    NULL) — the flag only skips the Gorilla re-encode of bytes the caller
+    discards."""
+    eng = RollupEngine(
+        spark,
+        "/tmp/rollup_nopayload_unused",
+        settings=minimal_settings(),
+        id_cols=("doc_id", "source"),
+        base_step_seconds=60,
+        base_impl="compact",
+    )
+    base = eng.compute_base(raw_points)
+    with_p = eng.compute_tier(base, 3600).toPandas()
+    without_p = eng.compute_tier(base, 3600, with_payload=False).toPandas()
+    key = ["doc_id", "source", "window_start"]
+    a = with_p.sort_values(key).reset_index(drop=True)
+    b = without_p.sort_values(key).reset_index(drop=True)
+    assert b.payload.isna().all()
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["payload"]), b.drop(columns=["payload"]),
+        check_exact=True,
+    )

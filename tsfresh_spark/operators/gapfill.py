@@ -169,21 +169,80 @@ def regularize_and_fill(
     method: str = "ffill",
     bucket_agg: str = "last",
 ) -> DataFrame:
-    """regularize → fill in one call; ``method`` ∈ {"ffill", "linear"}."""
-    grid = regularize(
-        df,
-        id_cols=id_cols,
-        ts_col=ts_col,
-        value_col=value_col,
-        step=step,
-        bucket_agg=bucket_agg,
+    """regularize → fill in one call; ``method`` ∈ {"ffill", "linear"}.
+
+    Physical form (round-6 optimization): because the grid spans the FIRST
+    to LAST **observed** bucket per series, every gap is interior — both
+    neighbours of a missing bucket are observed rows.  The fill therefore
+    never needs the materialized null grid at all: each observed bucket,
+    together with its successor (one ``lead()`` window over the observed
+    table), generates its gap run ``[bucket, next_bucket)`` directly via
+    ``sequence`` + ``explode``, carrying the forward-filled or interpolated
+    value as a plain projection.  Compared with the composed
+    ``regularize → fill_*`` pipeline this removes the bounds aggregation,
+    the grid↔observed join and the full-grid window sorts (ffill: 4
+    Exchanges + 1 grid sort → 2 Exchanges + 1 observed-side sort; linear
+    additionally drops the second, descending full-grid sort), and the only
+    window runs over the observed rows — a fraction of the output grid.
+    Values are identical: the interpolation expression evaluates the exact
+    same double arithmetic on the exact same operands as
+    :func:`fill_linear` (A/B-asserted in tests/test_gapfill.py).
+
+    The composed operators :func:`regularize`, :func:`fill_forward` and
+    :func:`fill_linear` remain available for frames with genuinely exterior
+    gaps (e.g. grids widened beyond the observed span), where their edge
+    semantics (leading null / trailing carry) matter.
+    """
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unsupported fill method {method!r}")
+    bucket = F.window(F.col(ts_col), step)["start"].alias("bucket_ts")
+    if bucket_agg == "last":
+        agg = F.max_by(F.col(value_col), F.col(ts_col)).alias(value_col)
+    elif bucket_agg in ("mean", "avg"):
+        agg = F.avg(value_col).alias(value_col)
+    elif bucket_agg in ("min", "max", "sum"):
+        agg = getattr(F, bucket_agg)(value_col).alias(value_col)
+    else:
+        raise ValueError(f"unsupported bucket_agg {bucket_agg!r}")
+    observed = df.groupBy(*id_cols, bucket).agg(agg)
+
+    w = Window.partitionBy(*id_cols).orderBy("bucket_ts")
+    nxt_ts = F.lead("bucket_ts").over(w)
+    nxt_v = F.lead(value_col).over(w)
+    run = observed.select(
+        *id_cols,
+        F.col("bucket_ts").alias("_t0"),
+        F.col(value_col).alias("_v0"),
+        nxt_ts.alias("_t1"),
+        nxt_v.alias("_v1"),
+    ).select(
+        *id_cols,
+        "_t0",
+        "_v0",
+        "_t1",
+        "_v1",
+        F.explode(
+            F.sequence(
+                F.col("_t0"),
+                # up to (but excluding) the next observed bucket; the last
+                # observed row contributes exactly itself
+                F.coalesce(
+                    F.col("_t1") - F.expr(f"INTERVAL {step}"), F.col("_t0")
+                ),
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias("bucket_ts"),
     )
     if method == "ffill":
-        return fill_forward(
-            grid, id_cols=id_cols, order_col="bucket_ts", value_col=value_col
+        filled = F.col("_v0")
+    else:
+        # identical operands/operations to fill_linear's
+        #   prev_v + (next_v - prev_v) * (pos - prev_t) / (next_t - prev_t)
+        # (epoch-second doubles; observed rows keep their own value)
+        pos = F.col("bucket_ts").cast("timestamp").cast("double")
+        t0 = F.col("_t0").cast("timestamp").cast("double")
+        t1 = F.col("_t1").cast("timestamp").cast("double")
+        filled = F.when(F.col("bucket_ts") == F.col("_t0"), F.col("_v0")).otherwise(
+            F.col("_v0") + (F.col("_v1") - F.col("_v0")) * (pos - t0) / (t1 - t0)
         )
-    if method == "linear":
-        return fill_linear(
-            grid, id_cols=id_cols, order_col="bucket_ts", value_col=value_col
-        )
-    raise ValueError(f"unsupported fill method {method!r}")
+    return run.select(*id_cols, "bucket_ts", filled.alias(value_col))

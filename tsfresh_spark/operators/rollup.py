@@ -248,12 +248,25 @@ class RollupEngine:
         chunks = self._chunk_points(points, window_seconds)
         return self._apply_chunks(chunks, with_features=True)
 
-    def _cascade_tier(self, stored: DataFrame, window_seconds: int) -> DataFrame:
+    def _cascade_tier(
+        self,
+        stored: DataFrame,
+        window_seconds: int,
+        *,
+        with_payload: bool = True,
+    ) -> DataFrame:
         """Feature tier as a NARROW map over a stored tier whose storage
         chunks (per-day payloads) are window-aligned: each payload is
         decoded and split at window boundaries inside the UDF — no explode,
         no shuffle, no regroup.  Valid when DAY % window_seconds == 0 (every
-        window then lives inside exactly one day chunk)."""
+        window then lives inside exactly one day chunk).
+
+        ``with_payload=False`` skips re-encoding the per-window Gorilla
+        payloads (the column comes back NULL): a consumer that only reads
+        ``features``/``n_points`` — e.g. a report query — should not pay the
+        bit-packing cost for bytes it immediately discards (guide §1.2:
+        don't compute what you throw away).  Features and every other
+        column are identical either way (tests/test_rollup.py)."""
         if DAY % window_seconds != 0:
             raise ValueError("narrow cascade needs DAY-aligned windows")
         from tsfresh_spark.functions.codec import decode_series
@@ -300,7 +313,11 @@ class RollupEngine:
                                         sub_v, str(kind), settings
                                     )
                                 ),
-                                "payload": encode_series(sub_ts, sub_v),
+                                "payload": (
+                                    encode_series(sub_ts, sub_v)
+                                    if with_payload
+                                    else None
+                                ),
                             }
                         )
                 yield pd.DataFrame(rows)
@@ -317,14 +334,25 @@ class RollupEngine:
         fn = self._base_tier_compact if self.base_impl == "compact" else self._base_tier
         return fn(points)
 
-    def compute_tier(self, base: DataFrame, window_seconds: int) -> DataFrame:
+    def compute_tier(
+        self,
+        base: DataFrame,
+        window_seconds: int,
+        *,
+        with_payload: bool = True,
+    ) -> DataFrame:
         """Public: one feature tier at ``window_seconds`` from a base-tier
         frame (as returned by :meth:`compute_base` or read back from tier
         storage).  Picks the same physical strategy as ``run()``: the
         zero-shuffle narrow payload split when windows are day-aligned,
-        otherwise decode + regroup (one shuffle)."""
+        otherwise decode + regroup (one shuffle).  ``with_payload=False``
+        (day-aligned path) skips the per-window payload re-encode for
+        consumers that discard the payload column — see
+        :meth:`_cascade_tier`."""
         if DAY % window_seconds == 0:
-            return self._cascade_tier(base, window_seconds)
+            return self._cascade_tier(
+                base, window_seconds, with_payload=with_payload
+            )
         return self._feature_tier(self.decode_points(base), window_seconds)
 
     def _apply_chunks(self, chunks: DataFrame, *, with_features: bool) -> DataFrame:
