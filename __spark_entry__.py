@@ -60,15 +60,33 @@ def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_long(spark, sf_dir)
 
 
-def _events_tokens_longid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tokens table keyed by (user_id: long, event_type) — oracle-friendly."""
-    ev = _events_long(spark, sf_dir)
-    return ev.groupBy("user_id", "event_type").agg(
+def _tokens_groupby(ev: DataFrame) -> DataFrame:
+    """groupBy(user_id, event_type) → sorted token arrays, with the group
+    shuffle PINNED on the keys (round-6 fix): AQE's byte-based partition
+    coalescing sees a sub-1MB aggregated frame and collapses the shuffle
+    read to ONE partition (measured: the downstream compute-bound
+    mapInPandas kernel stage ran as a single task at sf0.1, ~1.5 effective
+    cores for ~30 queries).  An explicit keyed repartition is honored by
+    AQE, the aggregate reuses its exchange (no extra shuffle), and the
+    Arrow stage inherits the pinned width — the exact trap/fix already
+    documented for applyInPandas in CLAUDE.md, now applied to the tokens
+    builders too."""
+    from tsfresh_spark.plans.partitioning import pin_group_partitions
+
+    return pin_group_partitions(ev, "user_id", "event_type").groupBy(
+        "user_id", "event_type"
+    ).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
             lambda s: s["v"],
         ).alias("tokens")
     )
+
+
+def _events_tokens_longid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokens table keyed by (user_id: long, event_type) — oracle-friendly."""
+    _prep(spark)
+    return _tokens_groupby(_events_long(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1152,16 +1170,7 @@ def _events_tokens_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine float divergence of DFT/convolution sums ~1e-13, far under
     the round(6) quantum the spectral oracles compare at."""
     ev = _events_long(spark, sf_dir)
-    return (
-        ev.withColumn("v", F.pmod("v", F.lit(97)))
-        .groupBy("user_id", "event_type")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))),
-                lambda s: s["v"],
-            ).alias("tokens")
-        )
-    )
+    return _tokens_groupby(ev.withColumn("v", F.pmod("v", F.lit(97))))
 
 
 def q_fft_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
