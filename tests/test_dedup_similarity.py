@@ -500,3 +500,36 @@ def test_cosine_topk_auto_strategy(spark, vectors):
 
     with pytest.raises(ValueError, match="strategy"):
         cosine_topk(vectors, queries, k=3, strategy="nope")
+
+
+def test_ngram_bound_prefilter_is_sound(spark):
+    """Round-6: the candidate stage prunes pairs whose exact-Jaccard UPPER
+    BOUND (kept-intersection count + hot-shingle slack) falls below the
+    threshold.  Soundness check: at any threshold t, the operator's output
+    must equal its own threshold=0 output (every banded candidate with its
+    exact jaccard) filtered client-side at t — on a clone-heavy corpus with
+    deliberately hot shingles (low max_df) so the min(hot_a, hot_b) slack
+    arm is exercised."""
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        base = list(rng.choice(words, size=40))
+        docs.append((2 * i, " ".join(base)))
+        # mutated clone: 0-8 word edits => jaccard spread straddling t
+        k = rng.randint(0, 9)
+        for pos in rng.choice(40, size=k, replace=False):
+            base[pos] = str(rng.choice(words))
+        docs.append((2 * i + 1, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(text_col="text", id_col="doc_id", shingle_n=3, max_df=8)
+    everything = ngram_jaccard_duplicates(df, threshold=0.0, **kw).toPandas()
+    for t in (0.3, 0.5, 0.8):
+        got = ngram_jaccard_duplicates(df, threshold=t, **kw).toPandas()
+        want = everything[everything.jaccard >= t]
+        key = ["id_a", "id_b"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True),
+            check_exact=True,
+        )

@@ -311,8 +311,14 @@ def jaccard_verify(
     # |A ∪ B| as |A|+|B|-|A∩B|: pure integer arithmetic, so the double
     # division is bit-identical across engines (oracle replicates it)
     union = F.size("a.sh") + F.size("b.sh") - inter
+    # broadcast the CANDIDATE side explicitly (guide §3.1): pairs is two
+    # ids per row and bounded by the banded/df-pruned fan-out, while the
+    # shingle table is corpus-sized with string arrays — without the hint
+    # the planner's estimates broadcast the shingle side (measured: two
+    # ~25 MB sh broadcasts per verify at sf0.1, the dominant cost; a
+    # driver hazard at real scale)
     joined = (
-        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        F.broadcast(pairs).join(a, pairs.id_a == F.col(f"a.{id_col}"))
         .join(b, pairs.id_b == F.col(f"b.{id_col}"))
         .select(
             "id_a",
@@ -385,27 +391,130 @@ def ngram_jaccard_duplicates(
     # 4.0 s window vs 4.4 s groupBy minimums, same 1020 pairs) — the
     # combine + broadcastable-side properties are the 100-TB argument,
     # not a local win
-    freq = (
-        inv.groupBy("_shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .select("_shingle")
-    )
+    freq_all = inv.groupBy("_shingle").agg(F.count("*").alias("_df"))
+    freq = freq_all.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    ).select("_shingle")
     kept = inv.join(freq, "_shingle")
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._shingle") == F.col("b._shingle"))
-            & (F.col("a._id") < F.col("b._id"))
-            # exact length-ratio implication of J >= t
-            & (
-                F.least("a._sz", "b._sz")
-                >= threshold * F.greatest("a._sz", "b._sz")
-            ),
+    # Candidate pairs per shingle GROUP (round-6 rewrite): collect the
+    # (id, size) postings per surviving shingle and emit the i<j
+    # combinations in a narrow Arrow stage.  The previous kept⨝kept
+    # self-join made AQE broadcast the CORPUS-SIZED posting table through
+    # the driver (measured: the b-side BroadcastExchange carried every
+    # kept posting, and the explode+df-prune subtree was planned twice —
+    # the dominant cost of the query, and a driver-memory hazard at 100 TB)
+    # while this form shuffles each posting once into its shingle group.
+    # Fan-out is identical (df ≤ max_df bounds both forms at
+    # max_df·(max_df−1)/2 pairs per shingle) and the pair set is
+    # definitionally the same: all (a<b) sharing a kept shingle, with the
+    # exact length-ratio implication of J ≥ t applied per pair.  The
+    # groupBy is pinned for the same AQE byte-coalescing reason as every
+    # compute-bound grouped stage (CLAUDE.md).
+    from tsfresh_spark.plans.partitioning import pin_group_partitions
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    grouped = (
+        pin_group_partitions(kept, "_shingle")
+        .groupBy("_shingle")
+        .agg(F.collect_list(F.struct("_id", "_sz")).alias("_docs"))
+        .select("_docs")
+    )
+    thr = float(threshold)
+
+    def _gen_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_a, out_b = [], []
+            for docs in pdf["_docs"].values:
+                k = len(docs)
+                if k < 2:
+                    continue
+                ids = np.array([d["_id"] for d in docs])
+                szs = np.array([d["_sz"] for d in docs], dtype=np.int64)
+                ii, jj = np.triu_indices(k, 1)
+                lo, hi = szs[ii], szs[jj]
+                keep_m = np.minimum(lo, hi) >= thr * np.maximum(lo, hi)
+                ia, ib = ids[ii[keep_m]], ids[jj[keep_m]]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
+
+    # Exact Jaccard UPPER BOUND per candidate (round-6): the pair-gen
+    # emissions count each pair once per SHARED KEPT shingle, so the
+    # groupBy yields the exact kept-intersection size for free (the old
+    # .distinct() paid the same shuffle for less information).  Any shared
+    # shingle is either kept (counted exactly — df=1 shingles cannot be
+    # shared) or hot (df > max_df), and a pair shares at most
+    # min(hot_a, hot_b) hot shingles, so with sizes |A|,|B|:
+    #     inter ≤ ik + min(h_a, h_b)                       (ik exact)
+    #     union ≥ |A| + |B| − ik − min(h_a, h_b)
+    #     J ≤ (ik + min_h) / (|A| + |B| − ik − min_h)
+    # Pairs whose bound fails `bound_inter ≥ t·bound_union` provably fail
+    # the final `J ≥ t` filter (IEEE multiply is monotone, quantities are
+    # exact integers), so dropping them cannot change the output — the
+    # expensive string-array intersection then runs on the handful of
+    # plausible pairs instead of every banded candidate (measured at
+    # sf0.1: 849,875 candidates → 256 results; the verify stage was 112 of
+    # the query's ~180 core-seconds).  threshold=0 (the telemetry mode)
+    # keeps every candidate, exactly as before.
+    pair_counts = (
+        grouped.mapInPandas(_gen_pairs, f"id_a {id_type}, id_b {id_type}")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ik"))
+    )
+    if threshold <= 0:
+        # telemetry mode: the bound filter keeps every pair at t ≤ 0, so
+        # skip the doc-stat joins outright
+        return jaccard_verify(
+            df,
+            pair_counts.select("id_a", "id_b"),
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            shingle_df=sh,
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    hot = freq_all.filter(F.col("_df") > max_df).select("_shingle")
+    hot_counts = (
+        inv.join(F.broadcast(hot), "_shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_hot"))
+    )
+    docinfo = (
+        sh.select(F.col(id_col).alias("_id"), F.size("sh").alias("_dsz"))
+        .join(hot_counts, "_id", "left")
+        .select(
+            "_id", "_dsz", F.coalesce("_hot", F.lit(0)).alias("_hot")
+        )
+    )
+    da = docinfo.select(
+        F.col("_id").alias("id_a"),
+        F.col("_dsz").alias("_sza"),
+        F.col("_hot").alias("_ha"),
+    )
+    db = docinfo.select(
+        F.col("_id").alias("id_b"),
+        F.col("_dsz").alias("_szb"),
+        F.col("_hot").alias("_hb"),
+    )
+    min_h = F.least("_ha", "_hb")
+    bound_inter = F.col("_ik") + min_h
+    bound_union = F.col("_sza") + F.col("_szb") - F.col("_ik") - min_h
+    pairs = (
+        pair_counts.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .filter(bound_inter >= threshold * bound_union)
+        .select("id_a", "id_b")
     )
     return jaccard_verify(
         df,
