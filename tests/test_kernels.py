@@ -906,3 +906,94 @@ def test_sliding_percentile_at_equals_full():
             cols = np.unique(rng.randint(0, n, size=min(n, 50)))
             sel = _sliding_percentile_at(row, cols, half, odd, 10)
             assert np.array_equal(sel, full[cols]), (n, width)
+
+
+def test_slice_forms_equal_roll_forms():
+    """Round-6: number_peaks / c3 / time_reversal_asymmetry_statistic now
+    compare against plain slices (the reference's roll(x, ±k) never wraps
+    over the retained region).  A/B the slice forms against verbatim
+    roll-based re-implementations on randomized data — ties, NaN, int64
+    (overflow wraps must agree) and short series included."""
+    from tsfresh_spark.kernels.helpers import circular_shift
+    from tsfresh_spark.kernels.ordered import (
+        c3,
+        number_peaks,
+        time_reversal_asymmetry_statistic,
+    )
+
+    def np_roll(x, n):
+        x = np.asarray(x)
+        core = x[n:-n]
+        res = np.ones(core.shape, dtype=bool)
+        for i in range(1, n + 1):
+            res &= core > circular_shift(x, i)[n:-n]
+            res &= core > circular_shift(x, -i)[n:-n]
+        return int(np.sum(res))
+
+    def c3_roll(x, lag):
+        x = np.asarray(x)
+        n = x.size
+        if 2 * lag >= n:
+            return 0.0
+        return np.mean(
+            (circular_shift(x, -2 * lag) * circular_shift(x, -lag) * x)[: n - 2 * lag]
+        )
+
+    def trev_roll(x, lag):
+        x = np.asarray(x)
+        n = len(x)
+        if 2 * lag >= n:
+            return 0.0
+        one = circular_shift(x, -lag)
+        two = circular_shift(x, -2 * lag)
+        return np.mean((two * two * one - one * x * x)[: n - 2 * lag])
+
+    rng = np.random.RandomState(123)
+    cases = []
+    for ln in (3, 5, 11, 13, 29, 101, 500):
+        cases.append(rng.randint(-5, 5, size=ln).astype(np.int64))  # ties
+        cases.append(rng.randn(ln))
+        cases.append((rng.randint(0, 3, size=ln) * (2**31)).astype(np.int64))
+        nanv = rng.randn(ln)
+        nanv[rng.randint(0, ln, size=max(1, ln // 7))] = np.nan
+        cases.append(nanv)
+    for x in cases:
+        for n in (1, 3, 5, 10, 50):
+            a, b = number_peaks(x, n), np_roll(x, n)
+            assert a == b, (len(x), n)
+        for lag in (1, 2, 3, 7):
+            for new, old in ((c3, c3_roll), (time_reversal_asymmetry_statistic, trev_roll)):
+                a, b = new(x, lag), old(x, lag)
+                assert (np.isnan(a) and np.isnan(b)) or a == b, (len(x), lag, new)
+
+
+def test_energy_ratio_single_chunk_equals_array_split():
+    """Round-6: energy_ratio_by_chunks computes only the focus chunk's
+    array_split boundaries; A/B against the verbatim array_split form."""
+    from tsfresh_spark.kernels.ordered import energy_ratio_by_chunks
+
+    def ref(x, param):
+        x = np.asarray(x)
+        full = np.sum(x**2)
+        out = []
+        for cfg in param:
+            k, f = cfg["num_segments"], cfg["segment_focus"]
+            if full == 0:
+                out.append(np.nan)
+            else:
+                chunk = np.array_split(x, k)[f]
+                out.append(np.sum(chunk**2.0) / full)
+        return out
+
+    rng = np.random.RandomState(7)
+    grid = [
+        {"num_segments": k, "segment_focus": f}
+        for k in (1, 2, 3, 7, 10)
+        for f in list(range(-k, k))
+    ]
+    for ln in (1, 2, 5, 9, 10, 11, 29, 257):
+        for x in (rng.randint(-9, 9, ln).astype(np.int64), rng.randn(ln)):
+            got = [v for _, v in energy_ratio_by_chunks(x, grid)]
+            want = ref(x, grid)
+            for g, w in zip(got, want):
+                assert (np.isnan(g) and np.isnan(w)) or g == w

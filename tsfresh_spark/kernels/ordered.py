@@ -10,10 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tsfresh_spark.kernels.helpers import (
-    circular_shift,
-    run_lengths_where,
-)
+from tsfresh_spark.kernels.helpers import run_lengths_where
 from tsfresh_spark.kernels.registry import kernel
 
 
@@ -67,13 +64,23 @@ def number_crossing_m(x, m):
 @kernel("number_peaks", "simple")
 def number_peaks(x, n):
     """Peaks with support n: strictly greater than all n neighbours on both
-    sides (feature_calculators.py:1235-1271)."""
+    sides (feature_calculators.py:1235-1271).
+
+    The reference's ``roll(x, ±i)[n:-n]`` never wraps for ``i ≤ n`` when the
+    core is non-empty, so each comparison operand is the plain slice
+    ``x[n∓i : len(x)-n∓i]`` — identical values without the reference's
+    per-shift concatenate copies; an empty core (``len(x) ≤ 2n``) sums to 0
+    without running the 2n-shift loop (A/B vs the roll form in
+    tests/test_kernels.py, plus the randomized reference hunt)."""
     x = np.asarray(x)
+    m = len(x)
+    if m <= 2 * n:
+        return 0
     core = x[n:-n]
     res = np.ones(core.shape, dtype=bool)
     for i in range(1, n + 1):
-        res &= core > circular_shift(x, i)[n:-n]
-        res &= core > circular_shift(x, -i)[n:-n]
+        res &= core > x[n - i : m - n - i]
+        res &= core > x[n + i : m - n + i]
     return int(np.sum(res))
 
 
@@ -127,9 +134,12 @@ def time_reversal_asymmetry_statistic(x, lag):
     n = len(x)
     if 2 * lag >= n:
         return 0.0
-    one = circular_shift(x, -lag)
-    two = circular_shift(x, -2 * lag)
-    return np.mean((two * two * one - one * x * x)[: n - 2 * lag])
+    # roll(x, -k)[: n-2·lag] never wraps for k ≤ 2·lag — plain slices, same
+    # operand values and multiply order as the rolled form (A/B-tested)
+    two = x[2 * lag :]
+    one = x[lag : n - lag]
+    head = x[: n - 2 * lag]
+    return np.mean(two * two * one - one * head * head)
 
 
 @kernel("c3", "simple")
@@ -140,7 +150,8 @@ def c3(x, lag):
     n = x.size
     if 2 * lag >= n:
         return 0.0
-    return np.mean((circular_shift(x, -2 * lag) * circular_shift(x, -lag) * x)[: n - 2 * lag])
+    # same slice identity as time_reversal_asymmetry_statistic above
+    return np.mean(x[2 * lag :] * x[lag : n - lag] * x[: n - 2 * lag])
 
 
 @kernel("autocorrelation", "simple")
@@ -215,7 +226,9 @@ def change_quantiles(x, ql, qh, isabs, f_agg):
     div = np.diff(x)
     if isabs:
         div = np.abs(div)
-    ind = (inside & circular_shift(inside, 1))[1:]
+    # (inside & roll(inside, 1))[1:] never consults the wrapped element —
+    # it is exactly inside[1:] & inside[:-1]
+    ind = inside[1:] & inside[:-1]
     if np.sum(ind) == 0:
         return 0.0
     agg = getattr(np, f_agg)
@@ -266,7 +279,7 @@ def change_quantiles_batch(x, param_list):
                 selections[key] = None
             else:
                 inside = (x >= lo) & (x <= hi)
-                ind = (inside & circular_shift(inside, 1))[1:]
+                ind = inside[1:] & inside[:-1]
                 if not ind.any():
                     selections[key] = None
                 else:
@@ -289,9 +302,15 @@ def change_quantiles_batch(x, param_list):
 @kernel("energy_ratio_by_chunks", "combiner")
 def energy_ratio_by_chunks(x, param):
     """Energy of chunk i over total energy, np.array_split remainder rule
-    (feature_calculators.py:2226-2268)."""
+    (feature_calculators.py:2226-2268).  Only the focus chunk's boundaries
+    are computed (np.array_split's divmod sizing rule, including negative
+    list indexing) instead of materializing every chunk per config; the
+    squared array for the numerators is shared across the grid — slice
+    values, op order and sums are identical (A/B in test_kernels.py)."""
     x = np.asarray(x)
+    n = len(x)
     full_energy = np.sum(x**2)
+    xsq = None
     out = []
     for cfg in param:
         num_segments = cfg["num_segments"]
@@ -300,6 +319,17 @@ def energy_ratio_by_chunks(x, param):
         if full_energy == 0:
             out.append((name, np.nan))
         else:
-            chunk = np.array_split(x, num_segments)[segment_focus]
-            out.append((name, np.sum(chunk**2.0) / full_energy))
+            j = segment_focus if segment_focus >= 0 else segment_focus + num_segments
+            if not 0 <= j < num_segments:
+                raise IndexError("list index out of range")
+            neach, extras = divmod(n, num_segments)
+            if j < extras:
+                start = j * (neach + 1)
+                end = start + neach + 1
+            else:
+                start = extras * (neach + 1) + (j - extras) * neach
+                end = start + neach
+            if xsq is None:
+                xsq = x**2.0
+            out.append((name, np.sum(xsq[start:end]) / full_energy))
     return out

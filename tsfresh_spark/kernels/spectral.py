@@ -18,25 +18,40 @@ from tsfresh_spark.kernels.registry import kernel
 @kernel("fft_coefficient", "combiner")
 def fft_coefficient(x, param):
     """real/imag/abs/angle of rfft coefficients; one FFT for all (up to 400)
-    outputs (feature_calculators.py:1067-1119)."""
+    outputs (feature_calculators.py:1067-1119).  Each attr view is computed
+    once for the whole spectrum and indexed per config — the per-element
+    numpy ops (``.real``, ``np.abs``, ``np.angle(·, deg=True)``) are
+    identical applied scalar-wise or vectorized, and names come from the
+    shared per-param-list cache instead of an f-string per (series, cfg)."""
+    from tsfresh_spark.naming import cached_param_names
+
     fft = np.fft.rfft(x)
-
-    def agg(value, attr):
-        if attr == "real":
-            return value.real
-        if attr == "imag":
-            return value.imag
-        if attr == "abs":
-            return np.abs(value)
-        if attr == "angle":
-            return np.angle(value, deg=True)
-        raise ValueError(f'attr must be "real", "imag", "angle" or "abs", got {attr!r}')
-
+    names = cached_param_names(param)
+    L = len(fft)
+    views: dict = {}
     out = []
-    for cfg in param:
+    for cfg, name in zip(param, names):
         coeff, attr = cfg["coeff"], cfg["attr"]
-        value = agg(fft[coeff], attr) if coeff < len(fft) else np.nan
-        out.append((f'attr_"{attr}"__coeff_{coeff}', value))
+        if coeff < L:
+            arr = views.get(attr)
+            if arr is None:
+                if attr == "real":
+                    arr = fft.real
+                elif attr == "imag":
+                    arr = fft.imag
+                elif attr == "abs":
+                    arr = np.abs(fft)
+                elif attr == "angle":
+                    arr = np.angle(fft, deg=True)
+                else:
+                    raise ValueError(
+                        f'attr must be "real", "imag", "angle" or "abs", got {attr!r}'
+                    )
+                views[attr] = arr
+            value = arr[coeff]
+        else:
+            value = np.nan
+        out.append((name, value))
     return out
 
 
