@@ -88,16 +88,30 @@ def chunked_aggregate(x, f_agg: str, chunk_len: int) -> list:
     return out
 
 
+_RICKER_CACHE: dict = {}
+_RICKER_CACHE_MAX = 256
+
+
 def ricker_wavelet(points: int, a: float) -> np.ndarray:
     """Ricker ("mexican hat") wavelet, the classic normalized form.
 
-    Same closed form as feature_calculators.py:1307-1316.
-    """
-    A = 2 / (np.sqrt(3 * a) * (np.pi**0.25))
-    vec = np.arange(0, points) - (points - 1.0) / 2
-    xsq = vec**2
-    wsq = a**2
-    return A * (1 - xsq / wsq) * np.exp(-xsq / (2 * wsq))
+    Same closed form as feature_calculators.py:1307-1316.  Deterministic in
+    (points, a), so the vector is memoized per worker — the CWT kernels
+    rebuild identical wavelets for every series (the cache is tiny: one
+    ≤10·width float vector per distinct (points, width))."""
+    key = (points, a)
+    w = _RICKER_CACHE.get(key)
+    if w is None:
+        A = 2 / (np.sqrt(3 * a) * (np.pi**0.25))
+        vec = np.arange(0, points) - (points - 1.0) / 2
+        xsq = vec**2
+        wsq = a**2
+        w = A * (1 - xsq / wsq) * np.exp(-xsq / (2 * wsq))
+        w.setflags(write=False)
+        if len(_RICKER_CACHE) >= _RICKER_CACHE_MAX:
+            _RICKER_CACHE.pop(next(iter(_RICKER_CACHE)))
+        _RICKER_CACHE[key] = w
+    return w
 
 
 def cwt_ricker(x: np.ndarray, widths) -> np.ndarray:
@@ -276,11 +290,25 @@ def linregress_np(x, y, *, with_pvalue: bool = True) -> LinregressResult:
     )
 
 
+_HANN_CACHE: dict = {}
+_HANN_CACHE_MAX = 64
+
+
 def hann_periodic(n: int) -> np.ndarray:
-    """Periodic Hann window (the spectral-analysis form)."""
-    if n == 1:
-        return np.ones(1)
-    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+    """Periodic Hann window (the spectral-analysis form).  Deterministic in
+    ``n`` — memoized per worker (Welch rebuilds the same ≤256-point window
+    for every series)."""
+    w = _HANN_CACHE.get(n)
+    if w is None:
+        if n == 1:
+            w = np.ones(1)
+        else:
+            w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+        w.setflags(write=False)
+        if len(_HANN_CACHE) >= _HANN_CACHE_MAX:
+            _HANN_CACHE.pop(next(iter(_HANN_CACHE)))
+        _HANN_CACHE[n] = w
+    return w
 
 
 def welch_psd(x: np.ndarray, nperseg: int | None = None) -> np.ndarray:

@@ -302,6 +302,26 @@ def augmented_dickey_fuller(x, param):
 # ------------------------------------------------------- Langevin / Friedrich
 
 
+# one-slot cross-kernel cache: friedrich_coefficients and
+# max_langevin_fixed_point both fit the drift polynomial for the same
+# (series, m, r) back-to-back inside one extraction plan — the qcut+polyfit
+# is the whole cost of both kernels, so sharing it halves the pair.  Keyed
+# by the raw series bytes (exact memcmp) + (m, r); bounded to the single
+# most recent fit (the stored value is just m+1 coefficients).
+_FRIEDRICH_CACHE: list = [None]  # (key_bytes, m, r, coeffs)
+
+
+def _friedrich_coefficients_cached(x, m, r):
+    xa = np.asarray(x, dtype=float)
+    key = xa.tobytes()
+    hit = _FRIEDRICH_CACHE[0]
+    if hit is not None and hit[1] == m and hit[2] == r and hit[0] == key:
+        return hit[3]
+    coeffs = _friedrich_coefficients(xa, m, r)
+    _FRIEDRICH_CACHE[0] = (key, m, r, coeffs)
+    return coeffs
+
+
 def _friedrich_coefficients(x, m, r):
     """Polyfit of quantile-binned mean drift (feature_calculators.py:131-173).
 
@@ -373,7 +393,7 @@ def friedrich_coefficients(x, param):
         if coeff < 0:
             raise ValueError(f"coefficients must be positive or zero, found {coeff}")
         if (m, r) not in cache:
-            cache[(m, r)] = _friedrich_coefficients(x, m, r)
+            cache[(m, r)] = _friedrich_coefficients_cached(x, m, r)
         try:
             res[f"coeff_{coeff}__m_{m}__r_{r}"] = cache[(m, r)][coeff]
         except IndexError:
@@ -385,7 +405,7 @@ def friedrich_coefficients(x, param):
 def max_langevin_fixed_point(x, r, m):
     """Largest real root of the fitted drift polynomial
     (feature_calculators.py:2134-2167)."""
-    coeff = _friedrich_coefficients(x, m, r)
+    coeff = _friedrich_coefficients_cached(x, m, r)
     try:
         return np.max(np.real(np.roots(coeff)))
     except (np.linalg.LinAlgError, ValueError):

@@ -342,14 +342,12 @@ def autocorrelation_batch(x, param_list):
     x_mean = np.mean(x)
     v = np.var(x)
     centered = x - x_mean
+    v_zero = bool(np.isclose(v, 0))  # hoisted: v is lag-independent
     out = []
     for p in param_list:
         lag = p["lag"]
         name = f"lag_{lag}"
-        if n < lag:
-            out.append((name, np.nan))
-            continue
-        if np.isclose(v, 0):
+        if n < lag or v_zero:
             out.append((name, np.nan))
             continue
         sum_product = np.sum(centered[: n - lag] * centered[lag:])
