@@ -54,7 +54,7 @@ def sliding_windows(x: np.ndarray, width: int, step: int = 1) -> np.ndarray:
     return x[starts[:, None] + np.arange(width)[None, :]]
 
 
-def chunked_aggregate(x, f_agg: str, chunk_len: int) -> list:
+def chunked_aggregate(x, f_agg: str, chunk_len: int):
     """Downsample by aggregating consecutive chunks.
 
     Equivalent of ``_aggregate_on_chunks`` (feature_calculators.py:176-193):
@@ -77,14 +77,18 @@ def chunked_aggregate(x, f_agg: str, chunk_len: int) -> list:
     x = np.asarray(x)
     n = len(x)
     n_full = n // chunk_len
-    out = []
+    # returned as an ndarray (same scalar values as the historical list —
+    # the sole ndarray-input consumer, agg_linear_trend, re-arrayed the
+    # list anyway and the list round-trip cost ~10 µs per fit)
     if n_full:
         head = x[: n_full * chunk_len].reshape(n_full, chunk_len)
         # row-wise ndarray reductions are element-identical to reducing each
         # chunk separately (same contiguous 1-D reduction per row)
-        out = list(getattr(head, f_agg)(axis=1))
+        out = getattr(head, f_agg)(axis=1)
+    else:
+        out = x[:0]
     if n_full * chunk_len < n:
-        out.append(getattr(x[n_full * chunk_len :], f_agg)())
+        out = np.concatenate([out, [getattr(x[n_full * chunk_len :], f_agg)()]])
     return out
 
 

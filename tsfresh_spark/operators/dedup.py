@@ -439,8 +439,14 @@ def ngram_jaccard_duplicates(
                 lo, hi = szs[ii], szs[jj]
                 keep_m = np.minimum(lo, hi) >= thr * np.maximum(lo, hi)
                 ia, ib = ids[ii[keep_m]], ids[jj[keep_m]]
-                out_a.append(np.minimum(ia, ib))
-                out_b.append(np.maximum(ia, ib))
+                # id ordering must work for STRING ids too (the telemetry
+                # corpus keys docs by string id; np.minimum has no ufunc
+                # loop for <U dtypes) — np.where with the comparison
+                # operator orders any id dtype, matching the old join's
+                # lexicographic a < b on strings
+                swap = ib < ia
+                out_a.append(np.where(swap, ib, ia))
+                out_b.append(np.where(swap, ia, ib))
             if out_a:
                 yield pd.DataFrame(
                     {
