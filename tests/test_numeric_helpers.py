@@ -109,3 +109,49 @@ def test_ricker_shapes():
     mat = cwt_ricker(np.sin(np.arange(100) / 5.0), [1, 2, 5])
     assert mat.shape == (3, 100)
     assert np.isfinite(mat).all()
+
+
+def test_welch_batched_rfft_bitequal_to_segment_loop():
+    """Round-6: welch_psd computes all segments with one batched 2-D rfft.
+    A/B against the verbatim per-segment loop — bit-equal arrays required
+    (the spectral oracles compare rounded values, but kernel bit-equality
+    with the scalar form is the pinned invariant)."""
+    import numpy as np
+
+    from tsfresh_spark.kernels.helpers import hann_periodic, welch_psd
+
+    def welch_loop(x, nperseg=None):
+        x = np.asarray(x, dtype=float)
+        n = len(x)
+        if n == 0:
+            return np.array([])
+        if nperseg is None:
+            nperseg = min(n, 256)
+        nperseg = min(nperseg, n)
+        step = nperseg - nperseg // 2
+        win = hann_periodic(nperseg)
+        scale = 1.0 / (win * win).sum()
+        acc = np.zeros(nperseg // 2 + 1)
+        count = 0
+        start = 0
+        while start + nperseg <= n:
+            seg = x[start : start + nperseg]
+            seg = seg - seg.mean()
+            spec = np.fft.rfft(seg * win)
+            p = (spec.real**2 + spec.imag**2) * scale
+            if nperseg % 2 == 0:
+                p[1:-1] *= 2.0
+            else:
+                p[1:] *= 2.0
+            acc += p
+            count += 1
+            start += step
+        return acc / max(count, 1)
+
+    rng = np.random.RandomState(99)
+    for n in (1, 2, 3, 5, 17, 255, 256, 257, 300, 511, 512, 1000, 2048):
+        for x in (rng.randn(n) * 1e3, rng.randint(0, 97, n).astype(float)):
+            a, b = welch_psd(x), welch_loop(x)
+            assert np.array_equal(a, b), n
+        odd = rng.randn(n)
+        assert np.array_equal(welch_psd(odd, nperseg=31), welch_loop(odd, nperseg=31)), n

@@ -336,22 +336,27 @@ def welch_psd(x: np.ndarray, nperseg: int | None = None) -> np.ndarray:
     win = hann_periodic(nperseg)
     scale = 1.0 / (win * win).sum()  # fs = 1
     n_freqs = nperseg // 2 + 1
+    count = (n - nperseg) // step + 1
+    # all segments at once: windows are a strided view, the per-row mean /
+    # detrend / window-multiply are the same elementwise ops as the
+    # per-segment loop, and pocketfft's batched rfft along the last axis
+    # transforms each row independently with the identical plan — per-row
+    # results are bit-equal to per-segment 1-D rfft calls (A/B-asserted in
+    # tests/test_numeric_helpers.py).  The accumulation stays an explicit
+    # in-order loop over rows so the float summation order of the original
+    # segment loop is preserved exactly.
+    segs = np.lib.stride_tricks.sliding_window_view(x, nperseg)[::step][:count]
+    segs = (segs - segs.mean(axis=1, keepdims=True)) * win
+    spec = np.fft.rfft(segs, axis=1)
+    p = (spec.real**2 + spec.imag**2) * scale
+    # one-sided: double all bins except DC (and Nyquist when nperseg even)
+    if nperseg % 2 == 0:
+        p[:, 1:-1] *= 2.0
+    else:
+        p[:, 1:] *= 2.0
     acc = np.zeros(n_freqs)
-    count = 0
-    start = 0
-    while start + nperseg <= n:
-        seg = x[start : start + nperseg]
-        seg = seg - seg.mean()
-        spec = np.fft.rfft(seg * win)
-        p = (spec.real**2 + spec.imag**2) * scale
-        # one-sided: double all bins except DC (and Nyquist when nperseg even)
-        if nperseg % 2 == 0:
-            p[1:-1] *= 2.0
-        else:
-            p[1:] *= 2.0
-        acc += p
-        count += 1
-        start += step
+    for row in p:
+        acc += row
     return acc / max(count, 1)
 
 
