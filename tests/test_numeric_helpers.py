@@ -155,3 +155,31 @@ def test_welch_batched_rfft_bitequal_to_segment_loop():
             assert np.array_equal(a, b), n
         odd = rng.randn(n)
         assert np.array_equal(welch_psd(odd, nperseg=31), welch_loop(odd, nperseg=31)), n
+
+
+def test_linregress_arange_bitequal_to_general():
+    """Round-6: linregress_arange uses exact closed forms for the x-side
+    moments of x = arange(n).  Must be BIT-equal to linregress_np on the
+    same inputs — slope/intercept/r/p/stderr all compared exactly, across
+    lengths, NaN-bearing and constant series, int and float dtypes, and
+    both with_pvalue settings."""
+    import numpy as np
+
+    from tsfresh_spark.kernels.helpers import linregress_arange, linregress_np
+
+    rng = np.random.RandomState(17)
+    cases = []
+    for n in (0, 1, 2, 3, 5, 29, 100, 409, 1024, 2048):
+        cases.append(rng.randn(n) * 1e3)
+        cases.append(rng.randint(-1000, 1000, n).astype(np.int64))
+        cases.append(np.full(n, 7.0))
+        if n >= 3:
+            v = rng.randn(n)
+            v[rng.randint(0, n, max(1, n // 5))] = np.nan
+            cases.append(v)
+    for y in cases:
+        for wp in (True, False):
+            a = linregress_arange(y, with_pvalue=wp)
+            b = linregress_np(np.arange(len(y)), y, with_pvalue=wp)
+            for fa, fb in zip(a, b):
+                assert (np.isnan(fa) and np.isnan(fb)) or fa == fb, (len(y), wp)

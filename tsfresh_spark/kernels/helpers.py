@@ -244,6 +244,58 @@ class LinregressResult(NamedTuple):
     stderr: float
 
 
+def linregress_arange(y, *, with_pvalue: bool = True) -> LinregressResult:
+    """:func:`linregress_np` specialized to ``x = arange(len(y))`` — the
+    shape every trend kernel uses.  The x-side moments have exact closed
+    forms that are bit-equal to the computed ones for any realistic n
+    (all intermediate sums are exactly representable: pairwise summation
+    of 0..n−1 is exact below 2^53, and both ``mean((x−xm)²)`` and
+    ``(n²−1)/12`` are single roundings of the same exact rational), so
+    only the y-side reductions remain per call.  Bit-equality with
+    :func:`linregress_np` is asserted in tests/test_numeric_helpers.py
+    across lengths and dtypes."""
+    n = len(y)
+    if n < 2:
+        return LinregressResult(np.nan, np.nan, np.nan, np.nan, np.nan)
+    if n > (1 << 20):
+        # beyond ~2^20 points the exactness argument for the closed forms
+        # needs re-derivation — delegate to the general path
+        return linregress_np(np.arange(n), y, with_pvalue=with_pvalue)
+    y = np.asarray(y, dtype=float)
+    xm = (n - 1) / 2.0
+    ssxm = (n * n - 1) / 12.0
+    if ssxm == 0.0:
+        return LinregressResult(np.nan, np.nan, np.nan, np.nan, np.nan)
+    xc = np.arange(n, dtype=float)
+    xc -= xm
+    ym = y.mean()
+    yc = y - ym
+    ssym = np.mean(yc**2)
+    ssxym = np.mean(xc * yc)
+    slope = ssxym / ssxm
+    intercept = ym - slope * xm
+    if ssxm == 0.0 or ssym == 0.0:
+        r = 0.0
+    else:
+        r = ssxym / np.sqrt(ssxm * ssym)
+        r = max(-1.0, min(1.0, r))
+    df = n - 2
+    if n == 2:
+        pvalue = 1.0
+        stderr = 0.0
+    else:
+        if with_pvalue:
+            TINY = 1e-20
+            t = r * np.sqrt(df / ((1.0 - r + TINY) * (1.0 + r + TINY)))
+            pvalue = 2.0 * student_t_sf(abs(float(t)), df)
+        else:
+            pvalue = np.nan
+        stderr = np.sqrt((1.0 - r**2) * ssym / ssxm / df)
+    return LinregressResult(
+        float(slope), float(intercept), float(r), float(pvalue), float(stderr)
+    )
+
+
 def linregress_np(x, y, *, with_pvalue: bool = True) -> LinregressResult:
     """Least-squares line fit with the classic two-sided t-test p-value.
 

@@ -20,6 +20,7 @@ from tsfresh_spark.kernels.helpers import (
     acf_adjusted,
     chunked_aggregate,
     levinson_durbin_pacf,
+    linregress_arange,
     linregress_np,
     normal_sf_portable,
     ols_lstsq,
@@ -31,9 +32,8 @@ from tsfresh_spark.kernels.registry import kernel
 @kernel("linear_trend", "combiner")
 def linear_trend(x, param):
     """Least-squares line against 0..n-1 (feature_calculators.py:1343-1366)."""
-    fit = linregress_np(
-        np.arange(len(x)), x,
-        with_pvalue=any(cfg["attr"] == "pvalue" for cfg in param),
+    fit = linregress_arange(
+        x, with_pvalue=any(cfg["attr"] == "pvalue" for cfg in param)
     )
     return [(f'attr_"{cfg["attr"]}"', getattr(fit, cfg["attr"])) for cfg in param]
 
@@ -72,8 +72,8 @@ def agg_linear_trend(x, param):
                 cache[key] = None
             else:
                 agg = chunked_aggregate(x, f_agg, chunk_len)
-                cache[key] = linregress_np(
-                    np.arange(len(agg)), agg, with_pvalue=key in want_p
+                cache[key] = linregress_arange(
+                    agg, with_pvalue=key in want_p
                 )
         fit = cache[key]
         name = f'attr_"{attr}"__chunk_len_{chunk_len}__f_agg_"{f_agg}"'
