@@ -825,6 +825,61 @@ def test_ridge_lines_incremental_equals_argsort_reference():
     assert checked > 500
 
 
+def test_ridge_lines_columnar_equals_loop():
+    """A/B: the columnar ridge tracker must reproduce the python attach
+    loop EXACTLY — same lines, same order — across random, tied, plateau
+    and sparse CWT planes.  Called directly (not through the dispatcher)
+    so the equivalence is exercised below the size threshold too; the
+    dispatcher path is covered by test_ridge_lines_incremental_equals_
+    argsort_reference plus the >16-point abstention check here."""
+    from tsfresh_spark.kernels.spectral import (
+        _identify_ridge_lines,
+        _identify_ridge_lines_loop,
+        _relative_maxima,
+        _ridge_lines_columnar,
+        cwt_ricker,
+    )
+
+    rng = np.random.RandomState(5)
+    checked = abstained = 0
+    for trial in range(200):
+        n = int(rng.randint(3, 800))
+        kind = trial % 5
+        if kind == 0:
+            x = rng.randn(n) * 10
+        elif kind == 1:
+            x = rng.randint(-4, 5, size=n).astype(float)  # heavy ties
+        elif kind == 2:
+            x = np.sin(np.linspace(0, rng.randint(1, 9) * np.pi, n)) * 5
+        elif kind == 3:
+            x = np.repeat(rng.randn(max(1, n // 7)), 7)[:n]  # plateaus
+        else:
+            x = rng.randn(n)
+            x[rng.rand(n) < 0.3] = 0.0  # sparse/tied zeros
+        scales = int(rng.randint(1, 11))
+        widths = np.arange(1, scales + 1, dtype=float)
+        mat = cwt_ricker(np.asarray(x, float), widths)
+        am = _relative_maxima(mat)
+        md, gt = widths / 4.0, np.ceil(widths[0])
+        loop = _identify_ridge_lines_loop(am, md, gt)
+        col = _ridge_lines_columnar(am, md, gt)
+        key = lambda L: [tuple(int(v) for v in t) for t in L]
+        if col is None:
+            # abstention is only allowed when a >16-point line exists —
+            # the loop form must then show one
+            assert any(line[2] > 16 for line in loop), (trial, n, scales)
+            abstained += 1
+        else:
+            assert key(col) == key(loop), (trial, n, scales)
+        assert key(_identify_ridge_lines(mat, md, gt)) == key(loop), (
+            trial,
+            n,
+            scales,
+        )
+        checked += len(loop)
+    assert checked > 3000
+
+
 def test_sliding_percentile_partition_equals_np_percentile():
     """A/B: the partition-based interior must be bit-equal to the full
     np.percentile over sliding windows, across widths/percentiles/dtypes."""

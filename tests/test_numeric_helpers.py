@@ -157,6 +157,81 @@ def test_welch_batched_rfft_bitequal_to_segment_loop():
         assert np.array_equal(welch_psd(odd, nperseg=31), welch_loop(odd, nperseg=31)), n
 
 
+def test_welch_psd_one_slot_cache_semantics():
+    """Round-6: default-parameter welch_psd memoizes one series deep so
+    fourier_entropy and spkt_welch_density share one PSD per series.  The
+    cache must return the identical array on a hit, never cross-contaminate
+    between series (interleaved calls), bypass for explicit nperseg, and
+    hand out read-only arrays so an accidental in-place consumer raises
+    instead of corrupting the slot."""
+    import numpy as np
+
+    from tsfresh_spark.kernels.helpers import (
+        _welch_psd_impl,
+        clear_psd_cache,
+        welch_psd,
+    )
+
+    rng = np.random.RandomState(7)
+    clear_psd_cache()
+    a = rng.randn(300)
+    b = rng.randn(301)
+    pa = welch_psd(a)
+    assert welch_psd(a) is pa  # hit returns the identical object
+    pb = welch_psd(b)  # different series evicts, no contamination
+    assert np.array_equal(pb, _welch_psd_impl(np.asarray(b, float), 256))
+    assert np.array_equal(welch_psd(a), _welch_psd_impl(np.asarray(a, float), 256))
+    # NaN series: bytes-keyed compare must still hit (NaN != NaN as floats,
+    # but the key is a memcmp on the raw bytes)
+    c = a.copy()
+    c[5] = np.nan
+    pc = welch_psd(c)
+    assert welch_psd(c.copy()) is pc
+    # explicit nperseg bypasses the cache and is unaffected by it
+    assert np.array_equal(
+        welch_psd(a, nperseg=31), _welch_psd_impl(np.asarray(a, float), 31)
+    )
+    # cached arrays are read-only
+    try:
+        pa_again = welch_psd(a)
+        pa_again[0] = 1.0
+        raise AssertionError("cached PSD must be read-only")
+    except ValueError:
+        pass
+    clear_psd_cache()
+
+
+def test_rfft_one_slot_cache_semantics():
+    """Round-6: fft_coefficient / fft_aggregated share one rfft per series
+    through a bytes-keyed one-slot cache.  Hit returns the identical
+    object; different series never cross-contaminate; cached spectra are
+    read-only."""
+    import numpy as np
+
+    from tsfresh_spark.kernels.spectral import _rfft_cached, clear_rfft_cache
+
+    rng = np.random.RandomState(11)
+    clear_rfft_cache()
+    a = rng.randn(200)
+    b = rng.randn(200)
+    sa = _rfft_cached(a)
+    assert _rfft_cached(a) is sa
+    assert np.array_equal(sa, np.fft.rfft(a))
+    sb = _rfft_cached(b)
+    assert np.array_equal(sb, np.fft.rfft(b))
+    assert np.array_equal(_rfft_cached(a), np.fft.rfft(a))
+    # int series (tokens regime) hit on identical bytes too
+    t = rng.randint(0, 97, 50)
+    st = _rfft_cached(t)
+    assert _rfft_cached(t.copy()) is st
+    try:
+        _rfft_cached(t)[0] = 0
+        raise AssertionError("cached spectrum must be read-only")
+    except ValueError:
+        pass
+    clear_rfft_cache()
+
+
 def test_linregress_arange_bitequal_to_general():
     """Round-6: linregress_arange uses exact closed forms for the x-side
     moments of x = arange(n).  Must be BIT-equal to linregress_np on the

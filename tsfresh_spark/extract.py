@@ -151,10 +151,17 @@ def compute_series_features(
     finally:
         # sample_entropy/ApEn share Chebyshev matrices through a one-slot
         # cache; once this series is done the slot would otherwise pin up to
-        # ~66 MB per reused python worker between jobs
+        # ~66 MB per reused python worker between jobs.  The Welch-PSD
+        # (fourier_entropy / spkt_welch_density) and rfft (fft_coefficient /
+        # fft_aggregated) one-slot shares are cleared for the same reason
+        # (they pin the series bytes as their keys).
         from tsfresh_spark.kernels.entropy import clear_cheb_cache
+        from tsfresh_spark.kernels.helpers import clear_psd_cache
+        from tsfresh_spark.kernels.spectral import clear_rfft_cache
 
         clear_cheb_cache()
+        clear_psd_cache()
+        clear_rfft_cache()
 
 
 def _run_plan(plan, values, timestamps, show_warnings):

@@ -367,6 +367,21 @@ def hann_periodic(n: int) -> np.ndarray:
     return w
 
 
+# one-slot cross-kernel cache: fourier_entropy and spkt_welch_density both
+# evaluate the default-parameter Welch PSD of the SAME series inside one
+# extraction plan — the second call returns the first call's array (the
+# identical object, so sharing is bit-exact by construction).  Keyed by the
+# raw float64 series bytes (exact memcmp); cleared per series by
+# compute_series_features alongside the Chebyshev cache.
+_PSD_CACHE: list = [None]  # (key_bytes, pxx)
+
+
+def clear_psd_cache() -> None:
+    """Release the cached PSD (and its series-bytes key) so reused python
+    workers don't pin the last series between jobs."""
+    _PSD_CACHE[0] = None
+
+
 def welch_psd(x: np.ndarray, nperseg: int | None = None) -> np.ndarray:
     """One-sided Welch power spectral density, fs=1.
 
@@ -375,13 +390,31 @@ def welch_psd(x: np.ndarray, nperseg: int | None = None) -> np.ndarray:
     :1818-1821): periodic Hann window, 50% overlap, per-segment constant
     detrend, density scaling, mean average over segments, segment length
     ``min(len(x), 256)``.
+
+    Default-parameter calls (``nperseg=None`` — the only form the kernels
+    use) are memoized one-deep per worker: the effective segment length is
+    then a function of the series alone, so the series bytes fully key the
+    result.  The cached array is returned read-only; consumers never
+    mutate it (they allocate — ``pxx / max`` — or only index).
     """
     x = np.asarray(x, dtype=float)
     n = len(x)
     if n == 0:
         return np.array([])
     if nperseg is None:
-        nperseg = min(n, 256)
+        key = x.tobytes()
+        hit = _PSD_CACHE[0]
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        pxx = _welch_psd_impl(x, min(n, 256))
+        pxx.setflags(write=False)
+        _PSD_CACHE[0] = (key, pxx)
+        return pxx
+    return _welch_psd_impl(x, nperseg)
+
+
+def _welch_psd_impl(x: np.ndarray, nperseg: int) -> np.ndarray:
+    n = len(x)
     nperseg = min(nperseg, n)
     noverlap = nperseg // 2
     step = nperseg - noverlap

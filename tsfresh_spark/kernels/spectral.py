@@ -15,6 +15,31 @@ from tsfresh_spark.kernels.helpers import cwt_ricker, welch_psd
 from tsfresh_spark.kernels.registry import kernel
 
 
+# one-slot cross-kernel cache: fft_coefficient and fft_aggregated both
+# take the rfft of the SAME series inside one extraction plan — the second
+# call reuses the first call's spectrum (the identical array object, so
+# sharing is bit-exact by construction).  Keyed by the raw series bytes;
+# cleared per series by compute_series_features.
+_RFFT_CACHE: list = [None]  # (key_bytes, spectrum)
+
+
+def clear_rfft_cache() -> None:
+    """Release the cached spectrum (and its series-bytes key)."""
+    _RFFT_CACHE[0] = None
+
+
+def _rfft_cached(x) -> np.ndarray:
+    arr = np.asarray(x)
+    key = arr.tobytes()
+    hit = _RFFT_CACHE[0]
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    spec = np.fft.rfft(arr)
+    spec.setflags(write=False)
+    _RFFT_CACHE[0] = (key, spec)
+    return spec
+
+
 @kernel("fft_coefficient", "combiner")
 def fft_coefficient(x, param):
     """real/imag/abs/angle of rfft coefficients; one FFT for all (up to 400)
@@ -25,7 +50,7 @@ def fft_coefficient(x, param):
     shared per-param-list cache instead of an f-string per (series, cfg)."""
     from tsfresh_spark.naming import cached_param_names
 
-    fft = np.fft.rfft(x)
+    fft = _rfft_cached(x)
     names = cached_param_names(param)
     L = len(fft)
     views: dict = {}
@@ -59,7 +84,7 @@ def fft_coefficient(x, param):
 def fft_aggregated(x, param):
     """Spectral centroid / variance / skew / kurtosis of |rfft|
     (feature_calculators.py:1123-1231), including the var<0.5 → NaN guards."""
-    y = np.abs(np.fft.rfft(x))
+    y = np.abs(_rfft_cached(x))
 
     def moment(k):
         return y.dot(np.arange(len(y), dtype=float) ** k) / y.sum()
@@ -136,16 +161,155 @@ def cwt_coefficients(x, param):
 
 def _relative_maxima(mat: np.ndarray) -> np.ndarray:
     """Boolean matrix of strict relative maxima along each row (order 1,
-    clipped boundaries)."""
+    clipped boundaries).  Slice comparisons instead of gather copies: a
+    boundary column's clipped neighbor is itself, so ``mat > mat`` is
+    always False there and only interior columns can be maxima — the same
+    elementwise float comparisons as the index-clipped form."""
     n = mat.shape[1]
-    idx = np.arange(n)
-    left = mat[:, np.maximum(idx - 1, 0)]
-    right = mat[:, np.minimum(idx + 1, n - 1)]
-    return (mat > left) & (mat > right)
+    out = np.zeros(mat.shape, dtype=bool)
+    if n >= 3:
+        mid = mat[:, 1:-1]
+        out[:, 1:-1] = (mid > mat[:, :-2]) & (mid > mat[:, 2:])
+    return out
+
+
+# Below this many total relative maxima the per-row numpy group ops of the
+# columnar tracker cost more than the plain python attach loop (measured
+# crossover ~450 maxima ≈ a 700-point series at 5 scales; both paths are
+# value-identical so the switch is safe at any threshold).
+_RIDGE_COLUMNAR_MIN = 448
 
 
 def _identify_ridge_lines(mat, max_distances, gap_thresh):
     """Connect per-row relative maxima into ridge lines across scales.
+
+    Dispatcher: small inputs take the python attach loop
+    (:func:`_identify_ridge_lines_loop`); larger ones take the columnar
+    tracker (:func:`_ridge_lines_columnar`), which keeps the per-line
+    bookkeeping in parallel numpy arrays — the nearest-line decision
+    (diffs/argmin/threshold) is evaluated by the IDENTICAL expressions on
+    identically-valued operands in both, and the bookkeeping is exact
+    integer state, so the two paths produce the same lines in the same
+    order (A/B-asserted over random/tied/plateau CWT planes in
+    tests/test_kernels.py).  If any line grows beyond 16 points the
+    columnar tracker abstains and the loop re-runs, because only the loop
+    carries the full per-line (rows, cols) sequences the >16 argsort
+    tie-order replication needs."""
+    all_max = _relative_maxima(mat)
+    if int(np.count_nonzero(all_max)) < _RIDGE_COLUMNAR_MIN:
+        return _identify_ridge_lines_loop(all_max, max_distances, gap_thresh)
+    out = _ridge_lines_columnar(all_max, max_distances, gap_thresh)
+    if out is None:
+        return _identify_ridge_lines_loop(all_max, max_distances, gap_thresh)
+    return out
+
+
+def _ridge_lines_columnar(all_max, max_distances, gap_thresh):
+    """Columnar ridge-line tracker: per-line state as parallel int64 arrays
+    (last col, gap, min row, first col, length) updated with grouped fancy
+    indexing instead of a python loop per maximum.
+
+    Equivalence argument, line by line against the loop form:
+    - active lines live in the arrays in the SAME order the loop keeps its
+      list (new lines appended in ascending-column order, dead lines
+      removed by mask — relative order preserved), so ``np.argmin``
+      resolves distance ties to the same line;
+    - the decision triple (diffs/closest/within) is computed by the same
+      expressions on int64 operands of identical values;
+    - attaches touch only lines that existed before the row (``closest``
+      indexes the start-of-row snapshot), and rows strictly decrease, so
+      every attached line takes ``min_row = row`` unconditionally and its
+      first/last attached column are the group's first/last in ascending
+      column order (``np.unique`` first-occurrence on the forward and
+      reversed group keys);
+    - multi-attach adds the full group count to the line's length, exactly
+      as repeated appends do.
+    Returns None if any finished line exceeds 16 points — the caller
+    re-runs the loop form, whose stored sequences replicate the >16
+    ``np.argsort`` tie order."""
+    rows_with_max = np.nonzero(all_max.any(axis=1))[0]
+    if len(rows_with_max) == 0:
+        return []
+    start_row = rows_with_max[-1]
+    cols0 = np.nonzero(all_max[start_row])[0]
+    # per-line state as one (5, lines) int64 block: row 0 = last attached
+    # col, 1 = gap, 2 = min row, 3 = first col at min row, 4 = length —
+    # one concatenate to grow, one mask to compress
+    state = np.empty((5, len(cols0)), dtype=np.int64)
+    state[0] = cols0
+    state[1] = 0
+    state[2] = start_row
+    state[3] = cols0
+    state[4] = 1
+    last_col, gap, min_row, first_col, length = state
+    final: list = []
+    for row in range(int(start_row) - 1, -1, -1):
+        this_cols = np.nonzero(all_max[row])[0]
+        gap += 1
+        if len(last_col) and len(this_cols):
+            diffs = np.abs(this_cols[:, None] - last_col[None, :])
+            closest = np.argmin(diffs, axis=1)
+            best = diffs[np.arange(len(this_cols)), closest]
+            within = best <= max_distances[row]
+        else:
+            within = np.zeros(len(this_cols), dtype=bool)
+        if within.any():
+            cw = closest[within]
+            colw = this_cols[within]
+            # group attaches by line with ONE stable sort: within each
+            # group the ascending-column append order is preserved, so the
+            # group's first/last elements are the line's first/last
+            # attached columns — the same values the per-append loop
+            # leaves behind
+            order = np.argsort(cw, kind="stable")
+            sc = cw[order]
+            scol = colw[order]
+            is_start = np.empty(len(sc), dtype=bool)
+            is_start[0] = True
+            np.not_equal(sc[1:], sc[:-1], out=is_start[1:])
+            starts = np.nonzero(is_start)[0]
+            uniq = sc[starts]
+            ends = np.empty(len(starts), dtype=np.int64)
+            ends[:-1] = starts[1:]
+            ends[-1] = len(sc)
+            last_col[uniq] = scol[ends - 1]
+            gap[uniq] = 0
+            length[uniq] += ends - starts
+            min_row[uniq] = row
+            first_col[uniq] = scol[starts]
+            new_cols = this_cols[~within]
+        else:
+            new_cols = this_cols
+        if len(new_cols):
+            k = len(new_cols)
+            grown = np.empty((5, k), dtype=np.int64)
+            grown[0] = new_cols
+            grown[1] = 0
+            grown[2] = row
+            grown[3] = new_cols
+            grown[4] = 1
+            state = np.concatenate([state, grown], axis=1)
+            last_col, gap, min_row, first_col, length = state
+        dead = gap > gap_thresh
+        if dead.any():
+            # the loop form scans indices high→low when finalizing; same
+            # order here so the output list order matches exactly
+            for i in np.nonzero(dead)[0][::-1]:
+                final.append((int(min_row[i]), int(first_col[i]), int(length[i])))
+            state = state[:, ~dead]
+            last_col, gap, min_row, first_col, length = state
+    out = final + [
+        (int(min_row[i]), int(first_col[i]), int(length[i]))
+        for i in range(len(last_col))
+    ]
+    if any(line[2] > 16 for line in out):
+        return None
+    return out
+
+
+def _identify_ridge_lines_loop(all_max, max_distances, gap_thresh):
+    """The python attach-loop ridge tracker (over a precomputed relative-
+    maxima matrix).
 
     Returns ``(first_row, first_col, length)`` per line, where "first" is
     the entry ``np.argsort(rows)[0]`` selects in the published scipy
@@ -163,7 +327,6 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
     scale count plus a few duplicates; for the pathological longer case we
     replicate the original argsort verbatim.
     """
-    all_max = _relative_maxima(mat)
     rows_with_max = np.nonzero(all_max.any(axis=1))[0]
     if len(rows_with_max) == 0:
         return []
