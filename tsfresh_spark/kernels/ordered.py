@@ -261,6 +261,9 @@ def change_quantiles_batch(x, param_list):
     if finite.size == 0:
         return [(name, 0.0) for name in names]
     qcache: dict = dict(zip(uq, np.quantile(finite, uq))) if uq else {}
+    # corridor mask depends on (ql, qh) only — cache it one level above the
+    # (ql, qh, isabs) selections so the two isabs variants share one mask
+    corridors: dict = {}
     selections: dict = {}
     # np.mean / np.var stripped to their exact internal operation sequence
     # (umr_sum == np.add.reduce, same order ⇒ bit-identical — guarded by
@@ -274,16 +277,19 @@ def change_quantiles_batch(x, param_list):
             continue
         key = (ql, qh, bool(isabs))
         if key not in selections:
-            lo, hi = qcache[ql], qcache[qh]
-            if lo == hi:
-                selections[key] = None
-            else:
-                inside = (x >= lo) & (x <= hi)
-                ind = inside[1:] & inside[:-1]
-                if not ind.any():
-                    selections[key] = None
+            ckey = (ql, qh)
+            if ckey not in corridors:
+                lo, hi = qcache[ql], qcache[qh]
+                if lo == hi:
+                    corridors[ckey] = None
                 else:
-                    selections[key] = (abs_div if isabs else div)[ind]
+                    inside = (x >= lo) & (x <= hi)
+                    ind = inside[1:] & inside[:-1]
+                    corridors[ckey] = ind if ind.any() else None
+            ind = corridors[ckey]
+            selections[key] = (
+                None if ind is None else (abs_div if isabs else div)[ind]
+            )
         sel = selections[key]
         if sel is None:
             out.append((name, 0.0))
