@@ -825,6 +825,28 @@ def test_ridge_lines_incremental_equals_argsort_reference():
     assert checked > 500
 
 
+def test_nearest_lines_equals_matrix_argmin():
+    """A/B: the sorted nearest-line search must reproduce the distance
+    matrix argmin EXACTLY — including the smallest-line-index tie-break
+    among duplicate columns and among two equidistant distinct values —
+    over heavy-duplicate integer fuzz."""
+    from tsfresh_spark.kernels.spectral import _nearest_lines
+
+    rng = np.random.RandomState(3)
+    for trial in range(3000):
+        L = int(rng.randint(1, 40))
+        C = int(rng.randint(1, 40))
+        hi = int(rng.randint(2, 50))
+        prev = rng.randint(0, hi, L)
+        cols = np.sort(rng.randint(0, hi, C))
+        diffs = np.abs(cols[:, None] - prev[None, :])
+        closest = np.argmin(diffs, axis=1)
+        best = diffs[np.arange(len(cols)), closest]
+        got_c, got_b = _nearest_lines(cols, prev)
+        assert np.array_equal(got_c, closest), (trial, cols, prev)
+        assert np.array_equal(got_b, best), (trial, cols, prev)
+
+
 def test_ridge_lines_columnar_equals_loop():
     """A/B: the columnar ridge tracker must reproduce the python attach
     loop EXACTLY — same lines, same order — across random, tied, plateau

@@ -204,6 +204,59 @@ def _identify_ridge_lines(mat, max_distances, gap_thresh):
     return out
 
 
+_NEAREST_BIG = np.int64(1) << 62
+
+
+def _nearest_lines(this_cols, prev_cols):
+    """For every maximum column, the nearest active line and its distance —
+    the same (closest, best) pair as
+    ``argmin(|this_cols[:,None] - prev_cols[None,:]|, axis=1)`` but via a
+    sorted search: O((C+L)·log L) instead of the O(C·L) matrix.
+
+    Tie-break replication (exact integer logic, fuzz-asserted in
+    tests/test_kernels.py): ``np.argmin`` returns the SMALLEST line index
+    among all minimal-distance lines.  After a stable sort of the line
+    columns, original indices ascend within every equal-value run, so the
+    run's first element carries the minimal original index for that value
+    (``minO``); an exact-value hit has distance 0 via the right candidate
+    only, and a strict left/right winner takes its value-run's ``minO``.
+    The only multi-value tie is two distinct values equidistant from the
+    column — argmin then picks ``min`` of the two runs' ``minO``."""
+    L = len(prev_cols)
+    order = np.argsort(prev_cols, kind="stable")
+    S = prev_cols[order]
+    O = order.astype(np.int64)
+    idx = np.arange(L, dtype=np.int64)
+    is_start = np.empty(L, dtype=bool)
+    is_start[0] = True
+    np.not_equal(S[1:], S[:-1], out=is_start[1:])
+    run_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+    minO = O[run_start]
+    pos = np.searchsorted(S, this_cols)
+    left_ok = pos > 0
+    right_ok = pos < L
+    pl = np.clip(pos - 1, 0, L - 1)
+    pr = np.clip(pos, 0, L - 1)
+    dl = np.where(left_ok, this_cols - S[pl], _NEAREST_BIG)
+    dr = np.where(right_ok, S[pr] - this_cols, _NEAREST_BIG)
+    best = np.minimum(dl, dr)
+    cl = minO[pl]
+    cr = minO[pr]
+    closest = np.where(
+        dl < dr,
+        cl,
+        np.where(
+            dr < dl,
+            cr,
+            np.minimum(
+                np.where(left_ok, cl, _NEAREST_BIG),
+                np.where(right_ok, cr, _NEAREST_BIG),
+            ),
+        ),
+    )
+    return closest, best
+
+
 def _ridge_lines_columnar(all_max, max_distances, gap_thresh):
     """Columnar ridge-line tracker: per-line state as parallel int64 arrays
     (last col, gap, min row, first col, length) updated with grouped fancy
@@ -214,8 +267,9 @@ def _ridge_lines_columnar(all_max, max_distances, gap_thresh):
       list (new lines appended in ascending-column order, dead lines
       removed by mask — relative order preserved), so ``np.argmin``
       resolves distance ties to the same line;
-    - the decision triple (diffs/closest/within) is computed by the same
-      expressions on int64 operands of identical values;
+    - the decision triple (closest/best/within) reproduces the loop form's
+      distance-matrix argmin exactly — via :func:`_nearest_lines`, whose
+      first-index tie-break replication is fuzz-asserted;
     - attaches touch only lines that existed before the row (``closest``
       indexes the start-of-row snapshot), and rows strictly decrease, so
       every attached line takes ``min_row = row`` unconditionally and its
@@ -247,9 +301,9 @@ def _ridge_lines_columnar(all_max, max_distances, gap_thresh):
         this_cols = np.nonzero(all_max[row])[0]
         gap += 1
         if len(last_col) and len(this_cols):
-            diffs = np.abs(this_cols[:, None] - last_col[None, :])
-            closest = np.argmin(diffs, axis=1)
-            best = diffs[np.arange(len(this_cols)), closest]
+            # same (closest, best) as the loop form's |C−P| matrix argmin,
+            # via the sorted nearest search (see _nearest_lines)
+            closest, best = _nearest_lines(this_cols, last_col)
             within = best <= max_distances[row]
         else:
             within = np.zeros(len(this_cols), dtype=bool)
